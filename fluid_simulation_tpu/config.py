@@ -1,0 +1,138 @@
+"""Typed configuration for solver, scene, and viewers.
+
+The reference hardcodes everything (grid in ``simulation.cpp:431-435``, physics
+defaults in ``simulation.h:59-64``, viewer dims hand-synced in three places —
+``GUI/config.py:8-11``, ``gui.py:32-34``, ``make_pngs.py:7-8``). Here a single
+frozen dataclass is shared by the solver, the dump writer (which records it in
+a JSON sidecar) and every viewer, so dimensions can never go out of sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static simulation parameters (hashable -> usable as a jit static arg).
+
+    Defaults mirror the reference ctor defaults (``simulation.h:59-64``):
+    ``speed=30, dt=0.05, diff=2e-5, visc=1.5e-5, acc=15``. ``visc`` is carried
+    for API parity but — like the reference, where it is never read — compat
+    mode diffuses velocity with ``diff`` (``simulation.cpp:278-284``).
+    """
+
+    width: int = 128   # interior cells along x (simulation.cpp:432)
+    height: int = 64   # interior cells along y
+    depth: int = 64    # interior cells along z
+
+    dt: float = 0.05
+    diff: float = 2.0e-5
+    visc: float = 1.5e-5
+    acc: int = 15              # linear-solver sweeps per solve
+    speed: float = 30.0        # inlet x-velocity (simulation.cpp:105)
+    inlet_density: float = 0.001  # added per step on the x=1 plane (simulation.cpp:64-67)
+
+    # 'jacobi'       — Jacobi relaxation (fully parallel, deterministic)
+    # 'rbgs'         — red-black Gauss-Seidel (default; tracks 1-thread GS closely)
+    # 'gs_wavefront' — hyperplane-ordered Gauss-Seidel, numerically identical to
+    #                  the reference's sequential sweep (simulation.cpp:258-270);
+    #                  O(W+H+D) sequential stages, for parity tests only.
+    solver: str = "rbgs"
+
+    # 'compat' — replicate reference step() exactly, including the density
+    #            diffusion whose result is overwritten by advection
+    #            (simulation.cpp:135-136) and velocity diffusion that only
+    #            influences backtrace vectors.
+    # 'fast'   — same visible physics path but skips provably-dead work.
+    mode: str = "compat"
+
+    # Use the compat velocity-diffusion coefficient (diff) or honor visc.
+    use_visc_for_velocity: bool = False
+
+    # Vorticity confinement strength (0 = off). Extension beyond the reference
+    # (BASELINE.json config 3); standard Fedkiw et al. confinement force.
+    vorticity: float = 0.0
+
+    # 'reference' — x- inlet mirror / x+ outflow / mirrored y,z for their own
+    #               components only (simulation.cpp:183-215).
+    # 'noslip'    — all tangential+normal velocity zero at y/z walls
+    #               (BASELINE.json config 3).
+    wall_mode: str = "reference"
+
+    # Compute dtype for the fields ('float32' | 'bfloat16'). The reference is
+    # f32; bf16 halves HBM traffic at ~3 decimal digits.
+    dtype: str = "float32"
+
+    # Use Pallas fused kernels when available for this grid (falls back to the
+    # jnp path automatically when unsupported, e.g. on CPU test runs).
+    use_pallas: bool = True
+
+    @property
+    def interior_shape(self) -> Tuple[int, int, int]:
+        """(D, H, W) — z-major so x is the fastest/lane axis."""
+        return (self.depth, self.height, self.width)
+
+    @property
+    def padded_shape(self) -> Tuple[int, int, int]:
+        """(D+2, H+2, W+2) incl. the 1-cell ghost shell (simulation.cpp:35)."""
+        return (self.depth + 2, self.height + 2, self.width + 2)
+
+    @property
+    def n_cells(self) -> int:
+        return self.width * self.height * self.depth
+
+    def replace(self, **kw) -> "SimParams":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimParams":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneParams:
+    """Obstacle placement, mirroring ``loadSTLIntoObstacles``'s signature
+    (``simulation.h:94-104``): mesh path + scale + Euler rotation + translate.
+    """
+
+    stl_path: Optional[str] = None
+    scale: float = 1.0
+    rot_x: float = 0.0
+    rot_y: float = 0.0
+    rot_z: float = 0.0
+    translate_x: float = 0.0
+    translate_y: float = 0.0
+    translate_z: float = 0.0
+
+    # 'bbox_center' rotates about the true bounding-box midpoint;
+    # 'origin' replicates the reference behavior where objCenter is always
+    # (0,0,0) because the min/max sentinels are never updated
+    # (object_loader.cpp:288-296).
+    rotation_center: str = "origin"
+
+    # 'rasterize' — deterministic triangle rasterization + parity fill (default)
+    # 'ray_parity' — per-point jittered ray casting like the reference
+    #                (object_loader.cpp:396-448)
+    voxelizer: str = "rasterize"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+
+# Shared viewer defaults (GUI/config.py:21-25), as an explicit dataclass
+# instead of mutable module globals.
+@dataclasses.dataclass
+class ViewerParams:
+    streamline_density: int = 30
+    streamline_proximity: float = 2.0
+    integration_steps: int = 100
+    integration_step_size: float = 0.2
+    velocity_change_threshold: float = 0.1

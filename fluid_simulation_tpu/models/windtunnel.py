@@ -1,0 +1,211 @@
+"""The wind-tunnel model: the reference's whole program as one jitted step.
+
+Time-step composition mirrors ``Simulation::run`` + ``Simulation::step``
+(simulation.cpp:49-150):
+
+  per step (run loop, :63-71):  inlet density += 0.001 on the x=1 plane;
+                                buffer = dens;            then step():
+  step (:96-150):               inlet velocity (speed,0,0) on the x=1 plane;
+                                v_prev = v  (pre-diffusion save, :107-110);
+                                diffuse vx,vy,vz; project;
+                                advect vx,vy,vz from v_prev (order-dependent
+                                chain, :125-127); project again;
+                                density diffuse + advect from buffer.
+
+Two deliberate deviations, both output-preserving or opt-in:
+
+- the density diffusion's result is provably dead in the reference — advection
+  rewrites every cell from the *pre*-diffusion ``buffer``
+  (simulation.cpp:135-136 with :371-421) — so it is not computed; outputs are
+  identical and XLA would DCE it anyway.
+- ``mode='fast'`` switches to *simultaneous* velocity advection (all three
+  components backtraced through the post-projection field, the standard
+  stable-fluids formulation) which shares one backtrace per step; the default
+  ``'compat'`` keeps the reference's sequential chain.
+
+The whole time loop runs under ``jax.lax.scan`` — zero host round-trips; the
+reference's per-step 11.3 MB file write (simulation.cpp:140-148) becomes
+either on-device frame stacking or an async host writer (io/dump.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fluid_simulation_tpu.config import SimParams
+from fluid_simulation_tpu.ops.advect import advect, backtrace, trilinear_gather
+from fluid_simulation_tpu.ops.bounds import set_bounds
+from fluid_simulation_tpu.ops.linsolve import diffuse
+from fluid_simulation_tpu.ops.project import project, divergence, grid_h
+from fluid_simulation_tpu.ops.vorticity import apply_confinement
+from fluid_simulation_tpu.scene.masks import SceneMasks, build_masks
+
+
+class FluidState(NamedTuple):
+    """Padded (D+2, H+2, W+2) field pytree — the analog of the reference's
+    member arrays (simulation.h:16-27). Pressure/divergence are recomputed
+    per projection and surfaced via StepStats instead of being carried."""
+
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    dens: jnp.ndarray
+
+
+class StepStats(NamedTuple):
+    """Per-step scalars (the reference prints density sums every 100 steps,
+    simulation.cpp:73-77; we keep them every step for free inside scan)."""
+
+    density_sum: jnp.ndarray
+    max_divergence: jnp.ndarray
+
+
+def _dtype(params: SimParams):
+    return jnp.bfloat16 if params.dtype == "bfloat16" else jnp.float32
+
+
+def init_state(params: SimParams) -> FluidState:
+    """All-zero fields, like the ctor fill (simulation.cpp:38-43)."""
+    shape = params.padded_shape
+    dt = _dtype(params)
+    z = jnp.zeros(shape, dt)
+    return FluidState(vx=z, vy=z, vz=z, dens=z)
+
+
+def _apply_inlets(state: FluidState, params: SimParams) -> Tuple[FluidState, jnp.ndarray]:
+    """Inlet density (run loop, simulation.cpp:64-67) and inlet velocity
+    (step, simulation.cpp:102-105) on the x=1 interior plane; returns the
+    post-inlet density copy (``buffer = dens``, simulation.cpp:70)."""
+    dens = state.dens.at[1:-1, 1:-1, 1].add(
+        jnp.asarray(np.float32(params.inlet_density), state.dens.dtype))
+    buffer = dens
+    vx = state.vx.at[1:-1, 1:-1, 1].set(
+        jnp.asarray(np.float32(params.speed), state.vx.dtype))
+    vy = state.vy.at[1:-1, 1:-1, 1].set(0.0)
+    vz = state.vz.at[1:-1, 1:-1, 1].set(0.0)
+    return FluidState(vx, vy, vz, dens), buffer
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def simulation_step(state: FluidState, masks: SceneMasks,
+                    params: SimParams) -> Tuple[FluidState, StepStats]:
+    """Advance one full time step. Pure; jitted with ``params`` static."""
+    p = params
+    kw = dict(acc=p.acc, solver=p.solver, wall_mode=p.wall_mode)
+
+    state, buffer = _apply_inlets(state, p)
+    vx, vy, vz, dens = state
+    pvx, pvy, pvz = vx, vy, vz   # pre-diffusion save (simulation.cpp:107-110)
+
+    vel_diff = p.visc if p.use_visc_for_velocity else p.diff  # compat: diff
+    vx = diffuse(1, vx, pvx, masks, p.dt, vel_diff, **kw)
+    vy = diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw)
+    vz = diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw)
+
+    vx, vy, vz, _, _ = project(vx, vy, vz, masks, **kw)
+
+    if p.mode == "compat":
+        # Sequential component advection (simulation.cpp:125-127): each later
+        # component backtraces through already-advected earlier components.
+        vx2 = advect(1, pvx, vx, vy, vz, masks, p.dt, p.wall_mode)
+        vy2 = advect(2, pvy, vx2, vy, vz, masks, p.dt, p.wall_mode)
+        vz2 = advect(3, pvz, vx2, vy2, vz, masks, p.dt, p.wall_mode)
+        vx, vy, vz = vx2, vy2, vz2
+    elif p.mode == "fast":
+        # Simultaneous advection: one shared backtrace through the projected
+        # field, three gathers. Standard formulation; not bit-compatible.
+        D, H, W = p.depth, p.height, p.width
+        xb, yb, zb = backtrace(
+            vx[1:-1, 1:-1, 1:-1], vy[1:-1, 1:-1, 1:-1], vz[1:-1, 1:-1, 1:-1],
+            p.dt, W, H, D, vx.dtype)
+        outs = []
+        for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
+            smp = trilinear_gather(prev, xb, yb, zb) * masks.fluid_i
+            f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
+            outs.append(set_bounds(b, f, masks, p.wall_mode))
+        vx, vy, vz = outs
+    else:
+        raise ValueError(f"unknown mode {p.mode!r}")
+
+    if p.vorticity:
+        vx, vy, vz = apply_confinement(vx, vy, vz, masks, p.vorticity, p.dt)
+
+    vx, vy, vz, _, _ = project(vx, vy, vz, masks, **kw)
+
+    # Density transport. The reference's diffuse(0, dens, buffer) result is
+    # fully overwritten by this advection (see module docstring) — skipped.
+    dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode)
+
+    new_state = FluidState(vx, vy, vz, dens)
+    h = grid_h(p.width, p.height, p.depth)
+    stats = StepStats(
+        density_sum=jnp.sum(dens, dtype=jnp.float32),
+        max_divergence=jnp.max(jnp.abs(divergence(vx, vy, vz, masks, h))),
+    )
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("params", "steps", "record"))
+def simulate(state: FluidState, masks: SceneMasks, params: SimParams,
+             steps: int, record: bool = False):
+    """Run ``steps`` under ``lax.scan``. With ``record=True`` the per-step
+    fields are stacked on device (the dump-file analog of the reference's
+    per-step write, simulation.cpp:143-147); otherwise only stats stream out.
+    """
+
+    def body(st, _):
+        st, stats = simulation_step(st, masks, params)
+        out = (stats, st) if record else stats
+        return st, out
+
+    final, ys = jax.lax.scan(body, state, None, length=steps)
+    return final, ys
+
+
+class WindTunnel:
+    """Convenience wrapper tying params + scene masks + jitted step together —
+    the ergonomic equivalent of constructing ``Simulation`` and calling
+    ``run()`` (simulation.cpp:429-451), minus the hardcoding."""
+
+    def __init__(self, params: SimParams = SimParams(),
+                 obstacles: Optional[np.ndarray] = None):
+        self.params = params
+        if obstacles is None:
+            obstacles = np.zeros(params.padded_shape, np.float32)
+        if tuple(obstacles.shape) != params.padded_shape:
+            raise ValueError(
+                f"obstacle shape {obstacles.shape} != padded {params.padded_shape}")
+        self.obstacles = jnp.asarray(obstacles, _dtype(params))
+        self.masks = build_masks(self.obstacles, dtype=_dtype(params))
+        self.state = init_state(params)
+
+    def reset(self):
+        self.state = init_state(self.params)
+        return self.state
+
+    def step(self) -> StepStats:
+        self.state, stats = simulation_step(self.state, self.masks, self.params)
+        return stats
+
+    def simulate(self, steps: int, record: bool = False):
+        self.state, ys = simulate(self.state, self.masks, self.params,
+                                  steps=steps, record=record)
+        return self.state, ys
+
+    def density_sum(self) -> float:
+        return float(jnp.sum(self.state.dens, dtype=jnp.float32))
+
+    def field_ranges(self):
+        """Final min/max statistics, like simulation.cpp:81-90."""
+        s = self.state
+        return {
+            "density": (float(s.dens.min()), float(s.dens.max())),
+            "vx": (float(s.vx.min()), float(s.vx.max())),
+            "vy": (float(s.vy.min()), float(s.vy.max())),
+            "vz": (float(s.vz.min()), float(s.vz.max())),
+        }

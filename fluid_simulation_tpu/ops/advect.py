@@ -1,0 +1,117 @@
+"""Semi-Lagrangian advection (backtrace + trilinear gather).
+
+Mirrors ``Simulation::advect`` (simulation.cpp:367-424):
+
+- per-axis backtrace scaling ``x_back = i - dt*W*vx`` (the reference scales
+  each axis by its own dimension, simulation.cpp:384-386);
+- clamp to ``[0.5, N+0.5]`` (simulation.cpp:388-390), so corner samples can
+  touch the ghost shell (always zero);
+- trilinear sample of ``prev_field`` in the reference's lerp order
+  (x, then y, then z — simulation.cpp:412-420);
+- when advecting velocity component ``b``, that component's backtrace velocity
+  comes from ``prev_field`` at the cell while the other two come from the
+  *current* (already-updated) fields (simulation.cpp:380-382). The three
+  velocity advects are therefore order-dependent — callers must chain them
+  (x, then y, then z) like ``step()`` does (simulation.cpp:125-127);
+- solid cells are forced to zero (simulation.cpp:375-378);
+- ``setBounds(b, field)`` afterwards (simulation.cpp:423).
+
+The scattered 8-corner gather is expressed as ``jnp.take`` on the flattened
+padded array — XLA lowers this to a single fused gather per corner. A Pallas
+variant lives in ``kernels/`` for the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from fluid_simulation_tpu.ops.bounds import set_bounds
+from fluid_simulation_tpu.scene.masks import SceneMasks
+
+
+def trilinear_gather(prev: jnp.ndarray, xb, yb, zb) -> jnp.ndarray:
+    """Trilinear sample of the padded field ``prev`` at backtraced coordinates
+    (arrays shaped like the interior). Coordinates are in the reference's cell
+    units where integer ``i`` is the center of interior cell ``i``."""
+    D2, H2, W2 = prev.shape
+    i0 = jnp.floor(xb).astype(jnp.int32)
+    j0 = jnp.floor(yb).astype(jnp.int32)
+    k0 = jnp.floor(zb).astype(jnp.int32)
+    sx = xb - i0.astype(xb.dtype)
+    sy = yb - j0.astype(yb.dtype)
+    sz = zb - k0.astype(zb.dtype)
+
+    flat = prev.reshape(-1)
+    stride_y = W2
+    stride_z = W2 * H2
+
+    def at(di, dj, dk):
+        idx = (k0 + dk) * stride_z + (j0 + dj) * stride_y + (i0 + di)
+        return jnp.take(flat, idx.reshape(-1), mode="clip").reshape(idx.shape)
+
+    c000 = at(0, 0, 0); c100 = at(1, 0, 0)
+    c010 = at(0, 1, 0); c110 = at(1, 1, 0)
+    c001 = at(0, 0, 1); c101 = at(1, 0, 1)
+    c011 = at(0, 1, 1); c111 = at(1, 1, 1)
+
+    one = jnp.asarray(1.0, prev.dtype)
+    c00 = c000 * (one - sx) + c100 * sx
+    c01 = c001 * (one - sx) + c101 * sx
+    c10 = c010 * (one - sx) + c110 * sx
+    c11 = c011 * (one - sx) + c111 * sx
+    c0 = c00 * (one - sy) + c10 * sy
+    c1 = c01 * (one - sy) + c11 * sy
+    return c0 * (one - sz) + c1 * sz
+
+
+def backtrace(vx_i, vy_i, vz_i, dt: float, W: int, H: int, D: int, dtype):
+    """Backtraced coordinates for every interior cell, clamped like the
+    reference (simulation.cpp:384-390)."""
+    xi = jnp.arange(1, W + 1, dtype=dtype).reshape(1, 1, W)
+    yi = jnp.arange(1, H + 1, dtype=dtype).reshape(1, H, 1)
+    zi = jnp.arange(1, D + 1, dtype=dtype).reshape(D, 1, 1)
+    dt = np.float32(dt)
+    xb = xi - jnp.asarray(dt * np.float32(W), dtype) * vx_i
+    yb = yi - jnp.asarray(dt * np.float32(H), dtype) * vy_i
+    zb = zi - jnp.asarray(dt * np.float32(D), dtype) * vz_i
+    xb = jnp.clip(xb, 0.5, np.float32(W) + np.float32(0.5))
+    yb = jnp.clip(yb, 0.5, np.float32(H) + np.float32(0.5))
+    zb = jnp.clip(zb, 0.5, np.float32(D) + np.float32(0.5))
+    return xb, yb, zb
+
+
+def advect(
+    b: int,
+    prev: jnp.ndarray,
+    vx: jnp.ndarray,
+    vy: jnp.ndarray,
+    vz: jnp.ndarray,
+    masks: SceneMasks,
+    dt: float,
+    wall_mode: str = "reference",
+) -> jnp.ndarray:
+    """Advect ``prev`` through the velocity field, returning the new field.
+
+    For ``b in (1,2,3)`` the matching backtrace component is read from
+    ``prev`` (the pre-diffusion save, see step()) instead of the current
+    velocity — pass the *current* vx/vy/vz and this routine swaps in ``prev``
+    for component ``b`` itself (simulation.cpp:380-382).
+    """
+    dtype = prev.dtype
+    D2, H2, W2 = prev.shape
+    W, H, D = W2 - 2, H2 - 2, D2 - 2
+
+    vx_i = (prev if b == 1 else vx)[1:-1, 1:-1, 1:-1]
+    vy_i = (prev if b == 2 else vy)[1:-1, 1:-1, 1:-1]
+    vz_i = (prev if b == 3 else vz)[1:-1, 1:-1, 1:-1]
+
+    xb, yb, zb = backtrace(vx_i, vy_i, vz_i, dt, W, H, D, dtype)
+    sampled = trilinear_gather(prev, xb, yb, zb)
+
+    # Solids forced to zero (simulation.cpp:375-378). Ghost shell starts as
+    # zeros — faces get rewritten by set_bounds, edges/corners stay zero, which
+    # matches the reference where they are never written after the ctor.
+    new_i = sampled * masks.fluid_i
+    out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(new_i)
+    return set_bounds(b, out, masks, wall_mode)

@@ -1,0 +1,90 @@
+"""Full-step behavior: shapes, finiteness, inlet mass budget, solid cells,
+projection effectiveness, fast-vs-compat agreement."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fluid_simulation_tpu.config import SimParams
+from fluid_simulation_tpu.models.windtunnel import WindTunnel
+from fluid_simulation_tpu.ops.project import divergence, grid_h
+from fluid_simulation_tpu.scene.primitives import empty_obstacles, add_sphere
+
+PARAMS = SimParams(width=16, height=8, depth=8, solver="rbgs")
+
+
+def test_empty_tunnel_runs_and_is_finite():
+    wt = WindTunnel(PARAMS)
+    _, stats = wt.simulate(steps=5)
+    dens_sums = np.asarray(stats.density_sum)
+    assert dens_sums.shape == (5,)
+    assert np.all(np.isfinite(dens_sums))
+    for f in wt.state:
+        assert np.all(np.isfinite(np.asarray(f)))
+    # density only enters through the inlet plane: sum bounded by total added
+    # (outflow face only copies; advection clamp keeps mass roughly bounded)
+    added_per_step = PARAMS.inlet_density * PARAMS.height * PARAMS.depth
+    assert 0.0 < dens_sums[-1] < 30 * added_per_step
+
+
+def test_density_monotone_early():
+    wt = WindTunnel(PARAMS)
+    _, stats = wt.simulate(steps=4)
+    s = np.asarray(stats.density_sum)
+    assert np.all(np.diff(s) > 0)  # tunnel still filling
+
+
+def test_solid_cells_stay_zero():
+    obs = add_sphere(empty_obstacles(16, 8, 8), cx=8, cy=4, cz=4, radius=2.5)
+    wt = WindTunnel(PARAMS, obstacles=obs)
+    wt.simulate(steps=5)
+    solid = np.asarray(obs) >= 0.5
+    for f in wt.state:
+        assert np.all(np.asarray(f)[solid] == 0.0)
+
+
+def test_projection_reduces_divergence():
+    from fluid_simulation_tpu.ops.project import project
+    wt = WindTunnel(PARAMS)  # masks only; use a fresh random velocity field
+    # The reference's collocated discretization (central-difference gradient
+    # vs 7-point Poisson stencil) cannot damp checkerboard modes, so use a
+    # smooth field: low-frequency sines, the regime real flows live in.
+    shape = PARAMS.padded_shape
+    z, y, x = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
+                          np.arange(shape[2]), indexing="ij")
+    vx = jnp.asarray(np.sin(2 * np.pi * x / shape[2]).astype(np.float32))
+    vy = jnp.asarray(np.cos(2 * np.pi * y / shape[1]).astype(np.float32))
+    vz = jnp.asarray(np.sin(2 * np.pi * z / shape[0]).astype(np.float32))
+    h = grid_h(16, 8, 8)
+    before = np.abs(np.asarray(divergence(vx, vy, vz, wt.masks, h))).mean()
+    vx2, vy2, vz2, _, _ = project(vx, vy, vz, wt.masks, acc=50, solver="rbgs")
+    after = np.abs(np.asarray(divergence(vx2, vy2, vz2, wt.masks, h))).mean()
+    assert after < 0.4 * before
+
+
+def test_fast_mode_tracks_compat():
+    # 'fast' uses simultaneous advection — documented as *semantically* the
+    # same transport, not bit-compatible (models/windtunnel.py). Require the
+    # same qualitative behavior: monotone fill, same order of magnitude.
+    wt_c = WindTunnel(PARAMS)
+    wt_f = WindTunnel(PARAMS.replace(mode="fast"))
+    _, st_c = wt_c.simulate(steps=5)
+    _, st_f = wt_f.simulate(steps=5)
+    a = np.asarray(st_c.density_sum)
+    b = np.asarray(st_f.density_sum)
+    assert np.all(np.diff(a) > 0) and np.all(np.diff(b) > 0)
+    assert 0.4 < b[-1] / a[-1] < 2.5
+    for f in wt_f.state:
+        assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_vorticity_confinement_runs():
+    wt = WindTunnel(PARAMS.replace(vorticity=2.0, wall_mode="noslip"))
+    _, stats = wt.simulate(steps=4)
+    assert np.all(np.isfinite(np.asarray(stats.density_sum)))
+
+
+def test_bfloat16_mode_runs():
+    wt = WindTunnel(PARAMS.replace(dtype="bfloat16"))
+    _, stats = wt.simulate(steps=3)
+    assert np.all(np.isfinite(np.asarray(stats.density_sum)))
+    assert wt.state.vx.dtype == jnp.bfloat16
