@@ -22,9 +22,13 @@ from fluid_simulation_tpu.scene.masks import build_masks
 
 
 def batch_masks(obstacle_list: Sequence[np.ndarray]):
-    """Stack per-geometry masks into one batched SceneMasks pytree."""
-    masks = [build_masks(jnp.asarray(o, jnp.float32)) for o in obstacle_list]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *masks)
+    """Stack per-geometry masks into one batched SceneMasks pytree.
+
+    Stacking happens on host (jit-output readback is cheap; eager device
+    stacking would poison later readback on the axon backend)."""
+    masks = [build_masks(np.asarray(o, np.float32)) for o in obstacle_list]
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *masks)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "steps"))

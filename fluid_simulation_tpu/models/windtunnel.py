@@ -69,8 +69,10 @@ def _dtype(params: SimParams):
     return jnp.bfloat16 if params.dtype == "bfloat16" else jnp.float32
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def init_state(params: SimParams) -> FluidState:
-    """All-zero fields, like the ctor fill (simulation.cpp:38-43)."""
+    """All-zero fields, like the ctor fill (simulation.cpp:38-43). Jitted so
+    the arrays are cheap to read back (see build_masks on eager readback)."""
     shape = params.padded_shape
     dt = _dtype(params)
     z = jnp.zeros(shape, dt)
@@ -180,7 +182,10 @@ class WindTunnel:
         if tuple(obstacles.shape) != params.padded_shape:
             raise ValueError(
                 f"obstacle shape {obstacles.shape} != padded {params.padded_shape}")
-        self.obstacles = jnp.asarray(obstacles, _dtype(params))
+        # kept as host numpy: readback of eager device arrays is pathologically
+        # slow on some backends (see build_masks docstring); jit inputs are
+        # transferred host->device cheaply on call.
+        self.obstacles = np.asarray(obstacles, np.float32)
         self.masks = build_masks(self.obstacles, dtype=_dtype(params))
         self.state = init_state(params)
 
@@ -198,14 +203,27 @@ class WindTunnel:
         return self.state, ys
 
     def density_sum(self) -> float:
-        return float(jnp.sum(self.state.dens, dtype=jnp.float32))
+        return float(_density_sum(self.state))
 
     def field_ranges(self):
         """Final min/max statistics, like simulation.cpp:81-90."""
-        s = self.state
+        r = jax.device_get(_ranges(self.state))
         return {
-            "density": (float(s.dens.min()), float(s.dens.max())),
-            "vx": (float(s.vx.min()), float(s.vx.max())),
-            "vy": (float(s.vy.min()), float(s.vy.max())),
-            "vz": (float(s.vz.min()), float(s.vz.max())),
+            "density": (float(r[0]), float(r[1])),
+            "vx": (float(r[2]), float(r[3])),
+            "vy": (float(r[4]), float(r[5])),
+            "vz": (float(r[6]), float(r[7])),
         }
+
+
+@jax.jit
+def _density_sum(state: FluidState):
+    return jnp.sum(state.dens, dtype=jnp.float32)
+
+
+@jax.jit
+def _ranges(state: FluidState):
+    s = state
+    return jnp.stack([
+        s.dens.min(), s.dens.max(), s.vx.min(), s.vx.max(),
+        s.vy.min(), s.vy.max(), s.vz.min(), s.vz.max()]).astype(jnp.float32)

@@ -13,8 +13,10 @@ never touches the host.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,12 +50,17 @@ class SceneMasks(NamedTuple):
         return self.fluid_i.shape
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
 def build_masks(obstacles: jnp.ndarray, dtype=jnp.float32) -> SceneMasks:
     """Derive every solver mask from the padded obstacle field (1=solid).
 
     ``obstacles`` has padded shape ``(D+2, H+2, W+2)``; the ghost shell must be
     zero (the reference only ever writes interior cells via ``addObstacle``,
     ``simulation.cpp:155-158``).
+
+    Jitted: on some backends (the tunneled 'axon' TPU here) host readback of
+    *eager*-op results is pathologically slow (~100 s/buffer), so every array
+    that might be transferred must be produced under jit.
     """
     obs = jnp.asarray(obstacles, dtype=jnp.float32)
     if obs.ndim != 3:
