@@ -1,0 +1,146 @@
+"""VMEM-resident fused red-black Gauss-Seidel solver (Pallas TPU).
+
+One kernel invocation runs all ``acc`` sweeps of
+``f = (prev + a*sum6(f)) / c`` with red-black ordering and the full boundary
+treatment (reference ``linearSolver`` + ``setBounds``,
+simulation.cpp:251-273/:183-246) applied after every sweep — while the field,
+rhs, and obstacle-keep mask stay in VMEM. HBM traffic for a 15-sweep solve
+drops from ~45 full-array transfers (XLA path: red half, black half, boundary
+passes, each read+write) to exactly one read of (field, prev, keep) and one
+write of field.
+
+The field buffer is aliased in/out (``input_output_aliases``) so VMEM holds
+three f32 arrays; at the default 128x64x64 grid that is 3 x 4.9 MB tiled.
+Red/black parity is recomputed from iotas each half-sweep (cheap VPU work)
+instead of loading a mask array.
+
+Falls back to the jnp path (ops/linsolve.py) off-TPU or when the grid would
+not fit in VMEM — decided by ``pallas_solve_supported``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Conservative per-core VMEM budget for our three resident buffers plus
+# Mosaic temporaries. v5e VMEM is 128 MiB-class on paper but the practical
+# ceiling for a single kernel is much lower; this value is validated by the
+# kernel test at the default grid and revisited when larger grids need the
+# two-pass path.
+VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _tiled_bytes(shape, itemsize=4):
+    d = list(shape)
+    d[-1] = -(-d[-1] // 128) * 128
+    d[-2] = -(-d[-2] // 8) * 8
+    return int(np.prod(d)) * itemsize
+
+
+def pallas_solve_supported(shape, dtype=jnp.float32) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if dtype != jnp.float32:
+        return False  # bf16 path not yet tuned
+    if len(shape) != 3 or min(shape) < 4:
+        return False
+    # field(in)+field(out alias)+prev+keep resident, plus ~2 array-sized
+    # elementwise temporaries Mosaic may materialize
+    need = 5 * _tiled_bytes(shape)
+    return need <= VMEM_BUDGET_BYTES
+
+
+def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
+                 shape, dtype):
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    # python-float literals embed in the kernel as constants (pallas kernels
+    # cannot capture traced/ndarray values from the enclosing scope)
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        # matches ops/bounds._set_bounds_noslip: x- mirrors (negated only for
+        # vx so the inlet survives); y/z walls negate every component
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+
+    def kernel(prev_ref, keep_ref, field_ref, out_ref):
+        out_ref[...] = field_ref[...]
+        prev_i = prev_ref[1:-1, 1:-1, 1:-1]
+        # red = cells whose 1-based coordinate sum is even (masks.py red_i)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
+        red = ((iz + iy + ix) % 2) == 1
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+
+        def half(take_red):
+            f = out_ref[...]
+            s = (
+                (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
+                  + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
+                + f[2:, 1:-1, 1:-1]
+            ) + f[:-2, 1:-1, 1:-1]
+            upd = (prev_i + a_c * s) * crec
+            cur = f[1:-1, 1:-1, 1:-1]
+            sel = red if take_red else jnp.logical_not(red)
+            out_ref[1:-1, 1:-1, 1:-1] = jnp.where(sel, upd, cur)
+
+        def sweep(i, _):
+            half(True)
+            half(False)
+            # setBounds (simulation.cpp:183-246): faces then obstacle keep
+            out_ref[1:-1, 1:-1, 0] = sx * out_ref[1:-1, 1:-1, 1]
+            out_ref[1:-1, 1:-1, W + 1] = out_ref[1:-1, 1:-1, W]  # outflow
+            out_ref[1:-1, 0, 1:-1] = sy * out_ref[1:-1, 1, 1:-1]
+            out_ref[1:-1, H + 1, 1:-1] = sy * out_ref[1:-1, H, 1:-1]
+            out_ref[0, 1:-1, 1:-1] = sz * out_ref[1, 1:-1, 1:-1]
+            out_ref[D + 1, 1:-1, 1:-1] = sz * out_ref[D, 1:-1, 1:-1]
+            out_ref[...] = out_ref[...] * keep_ref[...]
+            return 0
+
+        jax.lax.fori_loop(0, acc, sweep, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("b", "a", "c", "acc",
+                                              "wall_mode", "interpret"))
+def pallas_rbgs_solve(b: int, field: jnp.ndarray, prev: jnp.ndarray,
+                      keep: jnp.ndarray, a: float, c: float, acc: int = 15,
+                      wall_mode: str = "reference",
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in equivalent of ``linear_solver(..., solver='rbgs')`` for the
+    padded-field layout; ``keep`` is the padded obstacle multiplier
+    (masks.keep_vel for velocity components, masks.keep_scalar otherwise).
+    ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
+    shape = field.shape
+    kernel = _make_kernel(b, acc, a, c, wall_mode, shape, field.dtype)
+    flops = 10 * acc * 2 * int(np.prod(shape))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shape, field.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * _tiled_bytes(shape),
+            transcendentals=0),
+        **kwargs,
+    )(prev, keep, field)

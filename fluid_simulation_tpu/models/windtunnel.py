@@ -98,7 +98,8 @@ def simulation_step(state: FluidState, masks: SceneMasks,
                     params: SimParams) -> Tuple[FluidState, StepStats]:
     """Advance one full time step. Pure; jitted with ``params`` static."""
     p = params
-    kw = dict(acc=p.acc, solver=p.solver, wall_mode=p.wall_mode)
+    kw = dict(acc=p.acc, solver=p.solver, wall_mode=p.wall_mode,
+              use_pallas=p.use_pallas)
 
     state, buffer = _apply_inlets(state, p)
     vx, vy, vz, dens = state

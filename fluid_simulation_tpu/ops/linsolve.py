@@ -53,9 +53,21 @@ def linear_solver(
     acc: int = 15,
     solver: str = "rbgs",
     wall_mode: str = "reference",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Run ``acc`` relaxation sweeps of ``f = (prev + a*sum6(f))/c`` with
-    boundary conditions re-applied after each sweep (simulation.cpp:271)."""
+    boundary conditions re-applied after each sweep (simulation.cpp:271).
+
+    With ``use_pallas`` (and solver='rbgs' on a TPU backend where the grid
+    fits VMEM), dispatches to the fused kernel that keeps the field resident
+    across all sweeps (kernels/linsolve_pallas.py)."""
+    if use_pallas and solver == "rbgs":
+        from fluid_simulation_tpu.kernels.linsolve_pallas import (
+            pallas_rbgs_solve, pallas_solve_supported)
+        if pallas_solve_supported(f.shape, f.dtype):
+            keep = masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar
+            return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
+                                     acc=acc, wall_mode=wall_mode)
     dtype = f.dtype
     a = jnp.asarray(a, dtype)
     c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
@@ -121,6 +133,7 @@ def diffuse(
     acc: int = 15,
     solver: str = "rbgs",
     wall_mode: str = "reference",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Diffusion wrapper (simulation.cpp:278-284). Like the reference, the
     caller chooses the coefficient — velocity compat mode passes ``diff``, not
@@ -128,4 +141,4 @@ def diffuse(
     D2, H2, W2 = f.shape
     a, c = diffusion_coeffs(W2 - 2, H2 - 2, D2 - 2, dt, diff)
     return linear_solver(b, f, prev, a, c, masks, acc=acc, solver=solver,
-                         wall_mode=wall_mode)
+                         wall_mode=wall_mode, use_pallas=use_pallas)

@@ -69,6 +69,7 @@ def project(
     acc: int = 15,
     solver: str = "rbgs",
     wall_mode: str = "reference",
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Make the velocity field (approximately) divergence-free.
 
@@ -86,7 +87,7 @@ def project(
     div = set_bounds(0, div, masks, wall_mode)
     p = set_bounds(0, p, masks, wall_mode)
     p = linear_solver(0, p, div, 1.0, 6.0, masks, acc=acc, solver=solver,
-                      wall_mode=wall_mode)
+                      wall_mode=wall_mode, use_pallas=use_pallas)
 
     grad_x = _one_axis_gradient(
         p, masks.nb_xp, masks.nb_xm,

@@ -3,7 +3,9 @@ run without a TPU pod (SURVEY.md §4d). Must run before jax imports."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (not setdefault): the harness exports JAX_PLATFORMS=axon, and the
+# suite must run on CPU with virtual devices (SURVEY.md §4d)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +14,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Persistent compile cache: the suite re-jits the same small shapes each run.
 import jax  # noqa: E402
 
+# The TPU plugin registers itself from sitecustomize before conftest runs, so
+# the env var alone is too late — force the platform through the config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/fstpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
