@@ -1,0 +1,398 @@
+"""Spatially-sharded solver: z-slab domain decomposition over a device mesh.
+
+Each device owns a z-slab in **local padded** form ``(Dl+2, H+2, W+2)`` —
+exactly the reference's ghost-cell layout (simulation.cpp:35), except the
+z-ghost layers of interior ranks are *halos* filled from ICI neighbors via
+``lax.ppermute`` instead of boundary mirrors. The stacked global layout is
+``(n_z, Dl+2, H+2, W+2)`` sharded on axis 0, so every bit of the single-chip
+padded state (including ghost-face values, which carry pre-zeroing mirrors of
+solid cells) is preserved.
+
+Halo protocol per relaxation sweep (derived from the sequential semantics of
+simulation.cpp:251-273 + :183-246):
+
+  red half  ->  exchange (red values cross slabs; global-edge ghosts stay
+  stale, as in the single-chip sweep)  ->  black half  ->  set_bounds with
+  exchange (x/y faces local; z ghosts = boundary mirrors on edge ranks
+  computed *pre*-solid-zeroing, neighbor post-bounds slices elsewhere).
+
+This makes the sharded step numerically identical to the single-chip step up
+to compiler FMA-contraction choices (~1 ulp; asserted at 5e-5 relative in
+tests/test_sharding.py on a virtual 8-device CPU mesh).
+
+Advection backtraces can reach the whole domain (the reference clamps only to
+the global box, simulation.cpp:388-390), so each advect all-gathers the source
+field over the z axis before the local trilinear gather — one full-field ICI
+transfer per advect; the relaxation sweeps only move single slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fluid_simulation_tpu.config import SimParams
+from fluid_simulation_tpu.models.windtunnel import FluidState, StepStats
+from fluid_simulation_tpu.ops.advect import backtrace, trilinear_gather
+from fluid_simulation_tpu.ops.linsolve import diffusion_coeffs
+from fluid_simulation_tpu.ops.project import grid_h
+
+AXIS = "z"
+
+
+def _signs(b: int, wall_mode: str):
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        return (-1.0 if b == 1 else 1.0), -1.0, -1.0
+    return ((-1.0 if b == 1 else 1.0), (-1.0 if b == 2 else 1.0),
+            (-1.0 if b == 3 else 1.0))
+
+
+def _ppermute_updown(slab_up, slab_down, n):
+    """Send my top interior slice up (to rank+1) and bottom slice down."""
+    from_prev = lax.ppermute(slab_up, AXIS, [(r, r + 1) for r in range(n - 1)])
+    from_next = lax.ppermute(slab_down, AXIS, [(r + 1, r) for r in range(n - 1)])
+    return from_prev, from_next
+
+
+def _exchange_interior(f, n, i):
+    """Refresh z-halos from neighbors; global-edge ghosts keep their values
+    (they are only rewritten by set_bounds, like the single-chip code)."""
+    if n == 1:
+        return f
+    from_prev, from_next = _ppermute_updown(f[-2], f[1], n)
+    lo = jnp.where(i == 0, f[0], from_prev)
+    hi = jnp.where(i == n - 1, f[-1], from_next)
+    return f.at[0].set(lo).at[-1].set(hi)
+
+
+def _set_bounds_ex(b, f, keep, wall_mode, n, i):
+    """The sharded equivalent of ops.bounds.set_bounds: x/y faces + solid
+    zeroing locally, then z ghosts = pre-zeroing mirrors at the global edges
+    or neighbors' post-bounds boundary slices inside the domain."""
+    sx, sy, sz = _signs(b, wall_mode)
+    f = f.at[1:-1, 1:-1, 0].set(sx * f[1:-1, 1:-1, 1])
+    f = f.at[1:-1, 1:-1, -1].set(f[1:-1, 1:-1, -2])
+    f = f.at[1:-1, 0, 1:-1].set(sy * f[1:-1, 1, 1:-1])
+    f = f.at[1:-1, -1, 1:-1].set(sy * f[1:-1, -2, 1:-1])
+    # pre-zeroing z mirrors (global set_bounds takes them before the solid
+    # pass, simulation.cpp:205-223); ghost edges stay zero
+    zeros = jnp.zeros_like(f[0])
+    mirror_lo = zeros.at[1:-1, 1:-1].set(sz * f[1, 1:-1, 1:-1])
+    mirror_hi = zeros.at[1:-1, 1:-1].set(sz * f[-2, 1:-1, 1:-1])
+    f = f * keep
+    if n == 1:
+        return f.at[0].set(mirror_lo).at[-1].set(mirror_hi)
+    from_prev, from_next = _ppermute_updown(f[-2], f[1], n)
+    lo = jnp.where(i == 0, mirror_lo, from_prev)
+    hi = jnp.where(i == n - 1, mirror_hi, from_next)
+    return f.at[0].set(lo).at[-1].set(hi)
+
+
+class _LocalMasks(NamedTuple):
+    keep_scalar: jnp.ndarray
+    keep_vel: jnp.ndarray
+    fluid_i: jnp.ndarray
+    red_i: jnp.ndarray
+    nb: Tuple  # (xp, xm, yp, ym, zp, zm) interior-shaped
+
+
+def _local_masks(solid, n, i, D, H, W, Dl) -> _LocalMasks:
+    """scene.masks.build_masks, slab-local: adjacency and neighbor-validity
+    read the solid halos; in-bounds checks and red/black parity use *global*
+    z coordinates."""
+    solid_i = solid[1:-1, 1:-1, 1:-1]
+    fluid_i = 1.0 - solid_i
+    adj = (
+        solid[1:-1, 1:-1, 2:] + solid[1:-1, 1:-1, :-2]
+        + solid[1:-1, 2:, 1:-1] + solid[1:-1, :-2, 1:-1]
+        + solid[2:, 1:-1, 1:-1] + solid[:-2, 1:-1, 1:-1])
+    adj_fluid = jnp.where((adj > 0) & (solid_i < 0.5), 1.0, 0.0)
+    keep_scalar = jnp.ones_like(solid).at[1:-1, 1:-1, 1:-1].set(fluid_i)
+    keep_vel = keep_scalar.at[1:-1, 1:-1, 1:-1].set(
+        fluid_i * (1.0 - adj_fluid))
+
+    z_off = i * Dl
+    zg = (jnp.arange(1, Dl + 1) + z_off).reshape(Dl, 1, 1)   # 1-based global
+    yg = jnp.arange(1, H + 1).reshape(1, H, 1)
+    xg = jnp.arange(1, W + 1).reshape(1, 1, W)
+    red_i = (((zg + yg + xg) % 2) == 0)
+
+    fl = 1.0 - solid
+    inb_xp = (xg + 1 <= W).astype(jnp.float32)
+    inb_xm = (xg - 1 >= 1).astype(jnp.float32)
+    inb_yp = (yg + 1 <= H).astype(jnp.float32)
+    inb_ym = (yg - 1 >= 1).astype(jnp.float32)
+    inb_zp = (zg + 1 <= D).astype(jnp.float32)
+    inb_zm = (zg - 1 >= 1).astype(jnp.float32)
+    nb = (
+        fl[1:-1, 1:-1, 2:] * inb_xp, fl[1:-1, 1:-1, :-2] * inb_xm,
+        fl[1:-1, 2:, 1:-1] * inb_yp, fl[1:-1, :-2, 1:-1] * inb_ym,
+        fl[2:, 1:-1, 1:-1] * inb_zp, fl[:-2, 1:-1, 1:-1] * inb_zm,
+    )
+    return _LocalMasks(keep_scalar, keep_vel, fluid_i, red_i, nb)
+
+
+def _update(f, prev_i, a, c_recip):
+    s = (
+        (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
+          + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
+        + f[2:, 1:-1, 1:-1]
+    ) + f[:-2, 1:-1, 1:-1]
+    return (prev_i + a * s) * c_recip
+
+
+def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
+           n, i):
+    dtype = f.dtype
+    a = jnp.asarray(a, dtype)
+    c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
+    prev_i = prev[1:-1, 1:-1, 1:-1]
+    red = lm.red_i
+
+    if solver == "rbgs":
+        def sweep(fc, _):
+            upd = _update(fc, prev_i, a, c_recip)
+            fc = fc.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(red, upd, fc[1:-1, 1:-1, 1:-1]))
+            fc = _exchange_interior(fc, n, i)      # red values cross slabs
+            upd = _update(fc, prev_i, a, c_recip)
+            fc = fc.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(red, fc[1:-1, 1:-1, 1:-1], upd))
+            return _set_bounds_ex(b, fc, keep, wall_mode, n, i), None
+    elif solver == "jacobi":
+        def sweep(fc, _):
+            fc = fc.at[1:-1, 1:-1, 1:-1].set(_update(fc, prev_i, a, c_recip))
+            return _set_bounds_ex(b, fc, keep, wall_mode, n, i), None
+    else:
+        raise ValueError(
+            f"sharded mode supports solver in ('rbgs','jacobi'), got {solver!r}")
+
+    f, _ = lax.scan(sweep, f, None, length=acc)
+    return f
+
+
+def _gather_global(f, n):
+    """Reassemble the global padded field from local padded slabs (for the
+    semi-Lagrangian gather whose reach is unbounded)."""
+    if n == 1:
+        return f
+    g = lax.all_gather(f, AXIS, axis=0, tiled=False)  # (n, Dl+2, H+2, W+2)
+    interior = g[:, 1:-1].reshape(-1, *f.shape[1:])
+    return jnp.concatenate([g[0, :1], interior, g[-1, -1:]], axis=0)
+
+
+def _advect(b, prev, vx, vy, vz, lm, keep, params, n, i):
+    p = params
+    Dl = prev.shape[0] - 2
+    prev_g = _gather_global(prev, n)
+    vx_i = (prev if b == 1 else vx)[1:-1, 1:-1, 1:-1]
+    vy_i = (prev if b == 2 else vy)[1:-1, 1:-1, 1:-1]
+    vz_i = (prev if b == 3 else vz)[1:-1, 1:-1, 1:-1]
+    # x/y backtraces are slab-independent; the z backtrace must use *global*
+    # 1-based coordinates before the displacement and clamp
+    # (simulation.cpp:384-390 operate on global indices)
+    xb, yb, _ = backtrace(vx_i, vy_i, vz_i, p.dt, p.width, p.height, Dl,
+                          prev.dtype)  # z part rebuilt below in global coords
+    zi_g = (jnp.arange(1, Dl + 1, dtype=prev.dtype).reshape(Dl, 1, 1)
+            + (i * Dl).astype(prev.dtype))
+    dtD = np.float32(p.dt) * np.float32(p.depth)
+    zb = jnp.clip(zi_g - jnp.asarray(dtD, prev.dtype) * vz_i,
+                  0.5, np.float32(p.depth) + np.float32(0.5))
+    sampled = trilinear_gather(prev_g, xb, yb, zb) * lm.fluid_i
+    out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
+    return _set_bounds_ex(b, out, keep, params.wall_mode, n, i)
+
+
+def _divergence_local(vx, vy, vz, lm, h, dtype):
+    hh = jnp.asarray(np.float32(-0.5) * np.float32(h), dtype)
+    xp, xm, yp, ym, zp, zm = lm.nb
+    val = (
+        vx[1:-1, 1:-1, 2:] * xp - vx[1:-1, 1:-1, :-2] * xm
+        + vy[1:-1, 2:, 1:-1] * yp - vy[1:-1, :-2, 1:-1] * ym
+        + vz[2:, 1:-1, 1:-1] * zp - vz[:-2, 1:-1, 1:-1] * zm)
+    return hh * val * lm.fluid_i
+
+
+def _gradient(pfield, mask_p, mask_m, shift_p, shift_m, h, dtype):
+    inv_h = jnp.asarray(np.float32(1.0) / np.float32(h), dtype)
+    inv_2h = jnp.asarray(
+        np.float32(1.0) / (np.float32(2.0) * np.float32(h)), dtype)
+    p_i = pfield[1:-1, 1:-1, 1:-1]
+    p_p, p_m = shift_p(pfield), shift_m(pfield)
+    both = mask_p * mask_m
+    return (both * ((p_p - p_m) * inv_2h)
+            + (mask_p - both) * ((p_p - p_i) * inv_h)
+            + (mask_m - both) * ((p_i - p_m) * inv_h))
+
+
+def _project(vx, vy, vz, lm, params, n, i):
+    p = params
+    dtype = vx.dtype
+    h = grid_h(p.width, p.height, p.depth)
+    div_i = _divergence_local(vx, vy, vz, lm, h, dtype)
+    div = jnp.zeros_like(vx).at[1:-1, 1:-1, 1:-1].set(div_i)
+    div = _set_bounds_ex(0, div, lm.keep_scalar, p.wall_mode, n, i)
+    pr = jnp.zeros_like(vx)   # set_bounds(0, zeros) is zeros (simulation.cpp:319)
+    pr = _solve(0, pr, div, 1.0, 6.0, lm, lm.keep_scalar, p.acc, p.solver,
+                p.wall_mode, n, i)
+    xp, xm, yp, ym, zp, zm = lm.nb
+    gx = _gradient(pr, xp, xm, lambda q: q[1:-1, 1:-1, 2:],
+                   lambda q: q[1:-1, 1:-1, :-2], h, dtype)
+    gy = _gradient(pr, yp, ym, lambda q: q[1:-1, 2:, 1:-1],
+                   lambda q: q[1:-1, :-2, 1:-1], h, dtype)
+    gz = _gradient(pr, zp, zm, lambda q: q[2:, 1:-1, 1:-1],
+                   lambda q: q[:-2, 1:-1, 1:-1], h, dtype)
+    fl = lm.fluid_i
+    vx = vx.at[1:-1, 1:-1, 1:-1].add(-gx * fl)
+    vy = vy.at[1:-1, 1:-1, 1:-1].add(-gy * fl)
+    vz = vz.at[1:-1, 1:-1, 1:-1].add(-gz * fl)
+    vx = _set_bounds_ex(1, vx, lm.keep_vel, p.wall_mode, n, i)
+    vy = _set_bounds_ex(2, vy, lm.keep_vel, p.wall_mode, n, i)
+    vz = _set_bounds_ex(3, vz, lm.keep_vel, p.wall_mode, n, i)
+    return vx, vy, vz, pr, div
+
+
+def _local_step(state: FluidState, solid, params: SimParams
+                ) -> Tuple[FluidState, StepStats]:
+    """One full time step on the local padded slab (models/windtunnel.py
+    simulation_step, slab-local). All arrays carry valid halos in and out."""
+    p = params
+    if p.vorticity:
+        raise NotImplementedError("vorticity confinement is single-chip only "
+                                  "for now (needs one more halo exchange)")
+    if p.mode != "compat":
+        raise NotImplementedError("sharded mode implements compat semantics")
+    n = lax.axis_size(AXIS)
+    i = lax.axis_index(AXIS)
+    Dl = state.vx.shape[0] - 2
+    lm = _local_masks(solid, n, i, p.depth, p.height, p.width, Dl)
+
+    vx, vy, vz, dens = state
+    dens = dens.at[1:-1, 1:-1, 1].add(
+        jnp.asarray(np.float32(p.inlet_density), dens.dtype))
+    vx = vx.at[1:-1, 1:-1, 1].set(jnp.asarray(np.float32(p.speed), vx.dtype))
+    vy = vy.at[1:-1, 1:-1, 1].set(0.0)
+    vz = vz.at[1:-1, 1:-1, 1].set(0.0)
+    # inlets rewrite interiors -> refresh halos before anything reads them
+    vx = _exchange_interior(vx, n, i)
+    vy = _exchange_interior(vy, n, i)
+    vz = _exchange_interior(vz, n, i)
+    dens = _exchange_interior(dens, n, i)
+    buffer = dens
+    pvx, pvy, pvz = vx, vy, vz
+
+    vel_diff = p.visc if p.use_visc_for_velocity else p.diff
+    a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt, vel_diff)
+    vx = _solve(1, vx, pvx, a, c, lm, lm.keep_vel, p.acc, p.solver,
+                p.wall_mode, n, i)
+    vy = _solve(2, vy, pvy, a, c, lm, lm.keep_vel, p.acc, p.solver,
+                p.wall_mode, n, i)
+    vz = _solve(3, vz, pvz, a, c, lm, lm.keep_vel, p.acc, p.solver,
+                p.wall_mode, n, i)
+
+    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
+
+    vx2 = _advect(1, pvx, vx, vy, vz, lm, lm.keep_vel, p, n, i)
+    vy2 = _advect(2, pvy, vx2, vy, vz, lm, lm.keep_vel, p, n, i)
+    vz2 = _advect(3, pvz, vx2, vy2, vz, lm, lm.keep_vel, p, n, i)
+    vx, vy, vz = vx2, vy2, vz2
+
+    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
+
+    dens = _advect(0, buffer, vx, vy, vz, lm, lm.keep_scalar, p, n, i)
+
+    # stats: interior + global ghost slabs (edge ranks only), summed over chips
+    def global_sum(f):
+        s = jnp.sum(f[1:-1], dtype=jnp.float32)
+        s = s + jnp.where(i == 0, jnp.sum(f[0], dtype=jnp.float32), 0.0)
+        s = s + jnp.where(i == n - 1, jnp.sum(f[-1], dtype=jnp.float32), 0.0)
+        return lax.psum(s, AXIS)
+
+    h = grid_h(p.width, p.height, p.depth)
+    div_res = jnp.max(jnp.abs(_divergence_local(vx, vy, vz, lm, h, vx.dtype)))
+    stats = StepStats(density_sum=global_sum(dens),
+                      max_divergence=lax.pmax(div_res, AXIS))
+    return FluidState(vx, vy, vz, dens), stats
+
+
+# --------------------------------------------------------------------------
+# stacked-layout conversion + public API
+# --------------------------------------------------------------------------
+
+def split_padded(global_padded: np.ndarray, n: int) -> np.ndarray:
+    """(D+2, H+2, W+2) -> (n, D/n+2, H+2, W+2) overlapping slabs."""
+    D = global_padded.shape[0] - 2
+    if D % n:
+        raise ValueError(f"depth {D} not divisible by {n} shards")
+    Dl = D // n
+    return np.stack([global_padded[r * Dl: r * Dl + Dl + 2]
+                     for r in range(n)])
+
+
+def stitch_padded(stacked: np.ndarray) -> np.ndarray:
+    """Inverse of split_padded."""
+    n = stacked.shape[0]
+    interiors = stacked[:, 1:-1].reshape(-1, *stacked.shape[2:])
+    return np.concatenate(
+        [stacked[0, :1], interiors, stacked[n - 1, -1:]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "mesh", "steps"))
+def simulate_sharded(stacked_state: FluidState, stacked_solid, params, mesh,
+                     steps: int):
+    """Scan `steps` sharded steps. Inputs are stacked (n_z, Dl+2, H+2, W+2)
+    arrays sharded on axis 0 over the mesh's 'z' axis."""
+
+    def step_stacked(st, solid):
+        def body(state_l, solid_l):
+            state_l = jax.tree_util.tree_map(lambda x: x[0], state_l)
+            new, stats = _local_step(state_l, solid_l[0], params)
+            return (jax.tree_util.tree_map(lambda x: x[None], new),
+                    jax.tree_util.tree_map(lambda x: x[None], stats))
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)))(st, solid)
+
+    def scan_body(st, _):
+        st, stats = step_stacked(st, stacked_solid)
+        # one copy of the (replicated-by-psum) stats is enough
+        return st, jax.tree_util.tree_map(lambda x: x[0], stats)
+
+    return lax.scan(scan_body, stacked_state, None, length=steps)
+
+
+class ShardedWindTunnel:
+    """Multi-chip wind tunnel over a 1-D z mesh (BASELINE config 5)."""
+
+    def __init__(self, params: SimParams, obstacles: Optional[np.ndarray] = None,
+                 n_devices: Optional[int] = None):
+        devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+        self.mesh = Mesh(np.array(devs), axis_names=(AXIS,))
+        self.n = len(devs)
+        self.params = params
+        if obstacles is None:
+            obstacles = np.zeros(params.padded_shape, np.float32)
+        self.obstacles = np.asarray(obstacles, np.float32)
+        solid = (self.obstacles >= 0.5).astype(np.float32)
+        self.solid_stacked = self._shard(split_padded(solid, self.n))
+        zeros = split_padded(np.zeros(params.padded_shape, np.float32), self.n)
+        self.state = FluidState(*[self._shard(zeros.copy()) for _ in range(4)])
+
+    def _shard(self, stacked: np.ndarray):
+        sh = NamedSharding(self.mesh, P(AXIS))
+        return jax.device_put(stacked, sh)
+
+    def simulate(self, steps: int):
+        self.state, stats = simulate_sharded(
+            self.state, self.solid_stacked, self.params, self.mesh, steps)
+        return self.state, stats
+
+    def global_state(self) -> FluidState:
+        """Stitch the sharded slabs back to the single-chip padded layout."""
+        return FluidState(*[stitch_padded(np.asarray(f)) for f in self.state])

