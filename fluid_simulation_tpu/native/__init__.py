@@ -1,0 +1,41 @@
+"""ctypes bindings for the native runtime library (libfstpu.so).
+
+Auto-builds with the in-image g++ on first use when the shared object is
+missing; every consumer has a NumPy fallback, so an unbuildable environment
+degrades gracefully rather than failing (pybind11 is not available here —
+plain C ABI + ctypes instead).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libfstpu.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def load_library() -> ctypes.CDLL:
+    """Load (building if needed) the native library; raises OSError when
+    unavailable so callers can fall back to NumPy."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            raise OSError("libfstpu.so unavailable and could not be built")
+        _lib = ctypes.CDLL(_LIB_PATH)
+        return _lib

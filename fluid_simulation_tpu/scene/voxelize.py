@@ -128,6 +128,29 @@ def voxelize_rasterize(tris_grid: np.ndarray, W: int, H: int, D: int
 # compat ray-parity engine (reference algorithm, vectorized)
 # --------------------------------------------------------------------------
 
+# Counter-based RNG shared with the C++ engine (native/geometry.cpp): the
+# reference seeds a minstd generator per OpenMP thread from the thread-id
+# hash (object_loader.cpp:399), making results run-dependent; here every
+# sample is a pure function of (seed, fine-point linear index, channel), so
+# NumPy, C++, and any thread count produce identical masks.
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(seed: int, lin_idx: np.ndarray, channel: int) -> np.ndarray:
+    """Uniform [0,1) double per (point, channel)."""
+    ctr = (lin_idx.astype(np.uint64) * np.uint64(6)
+           + np.uint64(channel + 1)) * _GOLDEN + np.uint64(seed)
+    h = _splitmix64(ctr)
+    return (h >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+
 def _ray_parity_inside(points: np.ndarray, dirs: np.ndarray,
                        tris: np.ndarray, chunk: int = 65536) -> np.ndarray:
     """Moller-Trumbore parity test (object_loader.cpp:205-244), vectorized
@@ -181,19 +204,24 @@ def voxelize_ray_parity(tris: np.ndarray, obj_center: np.ndarray,
     P = np.stack(np.meshgrid(ix, iy, iz, indexing="ij"), axis=-1
                  ).reshape(-1, 3).astype(np.float64)
     pts = padded_lo + P * resolution
-    ci = np.clip(((pts - padded_lo) / coarse_res).astype(int), 0, gsz - 1)
-    keep = occ[ci[:, 0], ci[:, 1], ci[:, 2]]
+    ci = ((pts - padded_lo) / coarse_res).astype(int)
+    # out-of-grid points are rejected, not clipped (object_loader.cpp:84-85)
+    inb = np.all((ci >= 0) & (ci < gsz), axis=1)
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[inb] = occ[ci[inb, 0], ci[inb, 1], ci[inb, 2]]
     pts = pts[keep]
     if len(pts) == 0:
         return np.zeros((D + 2, H + 2, W + 2), dtype=np.float32)
+    lin = np.flatnonzero(keep)
 
-    rng = np.random.default_rng(seed)
-    pts = pts + rng.integers(0, 1000, size=pts.shape) * 1e-6 - 5e-4  # :417-419
-    dirs = rng.uniform(0.1, 1.0, size=pts.shape)                     # :422
+    # jitter in [-5e-4, 5e-4) and ray dirs in [0.1, 1.0) like the reference
+    # (object_loader.cpp:417-422), but counter-based (see _u01)
+    jit = np.stack([_u01(seed, lin, c) for c in range(3)], axis=1)
+    pts = pts + (jit * 1e-3 - 5e-4)
+    dirs = np.stack([0.1 + 0.9 * _u01(seed, lin, 3 + c) for c in range(3)],
+                    axis=1)
 
-    inside = _ray_parity_inside(pts.astype(np.float32),
-                                dirs.astype(np.float32),
-                                tris.astype(np.float32))
+    inside = _ray_parity_inside(pts, dirs, tris.astype(np.float64))
     pin = pts[inside]
 
     to_grid, _ = grid_mapping(padded_lo, padded_hi, obj_center, scale,
