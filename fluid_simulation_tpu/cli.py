@@ -38,7 +38,8 @@ def _add_sim_args(p):
     p.add_argument("--acc", type=int, default=15)
     p.add_argument("--solver", default="rbgs",
                    choices=["jacobi", "rbgs", "gs_wavefront"])
-    p.add_argument("--mode", default="compat", choices=["compat", "fast"])
+    p.add_argument("--mode", default="compat",
+                   choices=["compat", "fast", "split"])
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--wall-mode", default="reference", choices=["reference", "noslip"])
     p.add_argument("--vorticity", type=float, default=0.0)

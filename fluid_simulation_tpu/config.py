@@ -42,11 +42,12 @@ class SimParams:
     #                  O(W+H+D) sequential stages, for parity tests only.
     solver: str = "rbgs"
 
-    # 'compat' — replicate reference step() exactly, including the density
-    #            diffusion whose result is overwritten by advection
-    #            (simulation.cpp:135-136) and velocity diffusion that only
-    #            influences backtrace vectors.
-    # 'fast'   — same visible physics path but skips provably-dead work.
+    # 'compat' — replicate reference step() semantics exactly (sequential
+    #            per-component advection chain, simulation.cpp:125-127).
+    # 'fast'   — simultaneous trilinear advection: one shared backtrace
+    #            through the projected field (standard stable-fluids).
+    # 'split'  — operator-split advection: three 1-D lane-gather passes per
+    #            field (kernels/advect_pallas.py) — fastest on TPU.
     mode: str = "compat"
 
     # Use the compat velocity-diffusion coefficient (diff) or honor visc.

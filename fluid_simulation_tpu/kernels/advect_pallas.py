@@ -1,0 +1,246 @@
+"""Operator-split semi-Lagrangian advection on Mosaic lane-gathers.
+
+The compat trilinear backtrace is an arbitrary 3-D gather — XLA's take runs
+it at ~5-9 ns/element and it dominates the step (4 advects x 8 corners).
+Mosaic *can* do dynamic gathers along the lane (last) axis at ~2.3 ns/element,
+but only within one 128-lane tile and not across sublanes. This module
+exploits that with dimensional splitting (the classic alternative for
+semi-Lagrangian transport): three 1-D advection passes, each a per-lane
+linear-interpolation gather along the last axis, with cheap transposes
+between passes:
+
+    A(z,y,x) = lerp_x(prev(z,y,:),  x - dt*W*vx)
+    B(z,y,x) = lerp_y(A(z,:,x),     y - dt*H*vy)
+    out      = lerp_z(B(:,y,x),     z - dt*D*vz)
+
+Split advection is NOT the compat trilinear operator (mode='compat' keeps
+that); it is the standard production formulation for smoke solvers and is
+exposed as ``mode='split'``.
+
+Kernel constraints honored here:
+- gather axis <= 128 lanes -> the x pass (W+2 = 130 at the flagship size)
+  uses two overlapping 128-lane windows and selects by index;
+- index arrays must be the same 2-D shape as the gathered window.
+
+Interior-only outputs per pass (ghost x/y lanes are never needed downstream;
+ghost y/z *rows* are carried where a later pass samples them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lerp_kernel_single(arr_ref, xb_ref, out_ref):
+    """C <= 128: out[r, c] = lerp(arr[r, i0], arr[r, i0+1], frac)."""
+    xb = xb_ref[...]
+    i0 = jnp.floor(xb).astype(jnp.int32)
+    s = xb - i0.astype(xb.dtype)
+    arr = arr_ref[...]
+    a = jnp.take_along_axis(arr, i0, axis=1)
+    b = jnp.take_along_axis(arr, i0 + 1, axis=1)
+    out_ref[...] = a * (1.0 - s) + b * s
+
+
+def _lerp_kernel_two_window(arr_ref, xb_ref, out_ref):
+    """128 < C <= 256: gather through two overlapping 128-lane windows.
+
+    Window 0 covers source lanes [0, 127] (handles i0 <= 126 so i0+1 fits);
+    window 1 covers [C-128, C-1] (handles the rest). ``out`` is narrower than
+    ``arr`` (interior lanes only)."""
+    C = arr_ref.shape[1]
+    off = C - 128
+    xb = xb_ref[...]
+    i0 = jnp.floor(xb).astype(jnp.int32)
+    s = xb - i0.astype(xb.dtype)
+    w0 = arr_ref[:, 0:128]
+    w1 = arr_ref[:, off:C]
+    use0 = i0 <= 126
+    li0 = jnp.clip(i0, 0, 126)
+    li1 = jnp.clip(i0 - off, 0, 126)
+    a = jnp.where(use0,
+                  jnp.take_along_axis(w0, li0, axis=1),
+                  jnp.take_along_axis(w1, li1, axis=1))
+    b = jnp.where(use0,
+                  jnp.take_along_axis(w0, li0 + 1, axis=1),
+                  jnp.take_along_axis(w1, li1 + 1, axis=1))
+    out_ref[...] = a * (1.0 - s) + b * s
+
+
+def lane_lerp(arr2d: jnp.ndarray, xb2d: jnp.ndarray,
+              interpret: bool = False) -> jnp.ndarray:
+    """1-D linear-interpolation gather along the last axis.
+
+    ``xb2d``'s width is the output width; it must be <= 128 when the source
+    is wider than 128 (two-window path). Indices must satisfy
+    ``0 <= floor(xb) <= C-2`` (callers clamp like simulation.cpp:388-390).
+    """
+    R, C = arr2d.shape
+    Ro, Co = xb2d.shape
+    if R != Ro:
+        raise ValueError(f"row mismatch {arr2d.shape} vs {xb2d.shape}")
+    if C <= 128:
+        if Co != C:
+            raise ValueError("single-window path needs idx width == C")
+        kernel = _lerp_kernel_single
+    elif C <= 256:
+        if Co > 128:
+            raise ValueError("two-window path needs output width <= 128")
+        kernel = _lerp_kernel_two_window
+    else:
+        raise ValueError(f"gather axis too wide for the lane kernel: {C}")
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, Co), arr2d.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(arr2d, xb2d)
+
+
+def lane_lerp_supported(padded_shape) -> bool:
+    D2, H2, W2 = padded_shape
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    # x pass: out width W <= 128 and source W2 <= 256; y/z: axis <= 128
+    return (W2 - 2) <= 128 and W2 <= 256 and H2 <= 128 and D2 <= 128
+
+
+def _coords(n: int, dtype):
+    return jnp.arange(1, n + 1, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dt_", "interpret"))
+def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
+                 vz: jnp.ndarray, dt_: float,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Split advection of one padded field through (vx, vy, vz).
+
+    Returns the advected *interior* (D, H, W); the caller applies solid
+    masking and boundaries. Displacements use the velocity at the output
+    cell (simultaneous/fast-style), per-axis scaling and clamps as the
+    reference (simulation.cpp:384-390).
+    """
+    dtype = prev.dtype
+    D2, H2, W2 = prev.shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    dt = np.float32(dt_)
+
+    # ---- x pass: rows = (z, y) incl. ghost rows; out width W
+    xi = _coords(W, dtype).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
+                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+    if W2 <= 128:
+        # single-window kernel wants idx width == W2: edge-pad, slice after
+        xb_full = jnp.concatenate(
+            [xb[:, :, :1], xb, xb[:, :, -1:]], axis=2)
+        a = lane_lerp(prev.reshape(D2 * H2, W2),
+                      xb_full.reshape(D2 * H2, W2),
+                      interpret=interpret)[:, 1:-1]
+    else:
+        a = lane_lerp(prev.reshape(D2 * H2, W2),
+                      xb.reshape(D2 * H2, W), interpret=interpret)
+    A = a.reshape(D2, H2, W)
+
+    # ---- y pass: transpose y to lanes; rows = (z incl. ghosts, x interior)
+    yi = _coords(H, dtype).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
+                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)  # (D2, H, W)
+    At = jnp.swapaxes(A, 1, 2)                       # (D2, W, H2)
+    ybt = jnp.swapaxes(yb, 1, 2)                     # (D2, W, H)
+    # the single-window kernel wants idx width == H2; the two extra output
+    # lanes are edge-duplicated indices and sliced away below
+    ybt_full = jnp.concatenate(
+        [ybt[:, :, :1], ybt, ybt[:, :, -1:]], axis=2)        # (D2, W, H2)
+    b = lane_lerp(At.reshape(D2 * W, H2),
+                  ybt_full.reshape(D2 * W, H2), interpret=interpret)
+    B = jnp.swapaxes(b.reshape(D2, W, H2), 1, 2)[:, 1:-1, :]  # (D2, H, W)
+
+    # ---- z pass: transpose z to lanes; rows = (y, x)
+    zi = _coords(D, dtype).reshape(D, 1, 1)
+    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
+                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+    Bt = jnp.transpose(B, (1, 2, 0))                 # (H, W, D2)
+    zbt = jnp.transpose(zb, (1, 2, 0))               # (H, W, D)
+    zbt_full = jnp.concatenate(
+        [zbt[:, :, :1], zbt, zbt[:, :, -1:]], axis=2)        # (H, W, D2)
+    c = lane_lerp(Bt.reshape(H * W, D2),
+                  zbt_full.reshape(H * W, D2), interpret=interpret)
+    out = jnp.transpose(c.reshape(H, W, D2), (2, 0, 1))[1:-1]  # (D, H, W)
+    return out
+
+
+def advect_split_jnp(prev, vx, vy, vz, dt_):
+    """XLA fallback of advect_split (CPU, or grids outside the lane-kernel
+    limits): same three passes with jnp.take_along_axis."""
+    dtype = prev.dtype
+    D2, H2, W2 = prev.shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    dt = np.float32(dt_)
+
+    def lerp(arr, coords, axis):
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        s = coords - i0.astype(dtype)
+        a = jnp.take_along_axis(arr, i0, axis=axis)
+        b = jnp.take_along_axis(arr, i0 + 1, axis=axis)
+        return a * (1.0 - s) + b * s
+
+    xi = _coords(W, dtype).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
+                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+    A = lerp(prev, xb, axis=2)
+
+    yi = _coords(H, dtype).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
+                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)
+    B = lerp(A, yb, axis=1)
+
+    zi = _coords(D, dtype).reshape(D, 1, 1)
+    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
+                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+    return lerp(B, zb, axis=0)
+
+
+def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
+    """Dispatch to the Mosaic lane kernels when supported, XLA otherwise."""
+    if use_pallas and lane_lerp_supported(prev.shape):
+        return advect_split(prev, vx, vy, vz, float(dt_))
+    return advect_split_jnp(prev, vx, vy, vz, float(dt_))
+
+
+def advect_split_reference(prev, vx, vy, vz, dt_):
+    """NumPy oracle for advect_split (tests): same three passes, computed
+    with take_along_axis directly on each axis."""
+    prev = np.asarray(prev, np.float32)
+    vx, vy, vz = (np.asarray(v, np.float32) for v in (vx, vy, vz))
+    D2, H2, W2 = prev.shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    dt = np.float32(dt_)
+
+    def lerp(arr, coords, axis):
+        i0 = np.floor(coords).astype(np.int64)
+        s = (coords - i0).astype(np.float32)
+        a = np.take_along_axis(arr, i0, axis=axis)
+        b = np.take_along_axis(arr, i0 + 1, axis=axis)
+        return a * (1 - s) + b * s
+
+    xi = np.arange(1, W + 1, dtype=np.float32)
+    xb = np.clip(xi[None, None, :] - dt * np.float32(W)
+                 * vx[:, :, 1:-1], 0.5, W + 0.5)          # (D2, H2, W)
+    A = lerp(prev, xb, axis=2)                            # (D2, H2, W)
+
+    yi = np.arange(1, H + 1, dtype=np.float32)
+    yb = np.clip(yi[None, :, None] - dt * np.float32(H)
+                 * vy[:, 1:-1, 1:-1], 0.5, H + 0.5)       # (D2, H, W)
+    B = lerp(A, yb, axis=1)                               # (D2, H, W)
+
+    zi = np.arange(1, D + 1, dtype=np.float32)
+    zb = np.clip(zi[:, None, None] - dt * np.float32(D)
+                 * vz[1:-1, 1:-1, 1:-1], 0.5, D + 0.5)    # (D, H, W)
+    return lerp(B, zb, axis=0)                            # (D, H, W)

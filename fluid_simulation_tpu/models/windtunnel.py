@@ -132,6 +132,19 @@ def simulation_step(state: FluidState, masks: SceneMasks,
             f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
             outs.append(set_bounds(b, f, masks, p.wall_mode))
         vx, vy, vz = outs
+    elif p.mode == "split":
+        # Operator-split advection (kernels/advect_pallas.py): three 1-D
+        # lane-gather passes per field — the fastest TPU path; standard
+        # production formulation, not bit-compatible with the trilinear
+        # backtrace.
+        from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
+        outs = []
+        for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
+            smp = advect_split_auto(prev, vx, vy, vz, p.dt,
+                                    use_pallas=p.use_pallas) * masks.fluid_i
+            f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
+            outs.append(set_bounds(b, f, masks, p.wall_mode))
+        vx, vy, vz = outs
     else:
         raise ValueError(f"unknown mode {p.mode!r}")
 
@@ -142,7 +155,14 @@ def simulation_step(state: FluidState, masks: SceneMasks,
 
     # Density transport. The reference's diffuse(0, dens, buffer) result is
     # fully overwritten by this advection (see module docstring) — skipped.
-    dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode)
+    if p.mode == "split":
+        from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
+        smp = advect_split_auto(buffer, vx, vy, vz, p.dt,
+                                use_pallas=p.use_pallas) * masks.fluid_i
+        dens = jnp.zeros_like(buffer).at[1:-1, 1:-1, 1:-1].set(smp)
+        dens = set_bounds(0, dens, masks, p.wall_mode)
+    else:
+        dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode)
 
     new_state = FluidState(vx, vy, vz, dens)
     h = grid_h(p.width, p.height, p.depth)

@@ -1,0 +1,84 @@
+"""Operator-split advection: kernel (interpret mode) vs NumPy oracle, XLA
+fallback vs oracle, and model-level 'split' mode sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fluid_simulation_tpu.config import SimParams
+from fluid_simulation_tpu.kernels.advect_pallas import (
+    advect_split, advect_split_jnp, advect_split_reference, lane_lerp)
+from fluid_simulation_tpu.models.windtunnel import WindTunnel
+
+
+def _fields(W=24, H=12, D=10, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (D + 2, H + 2, W + 2)
+    prev = rng.normal(size=shape).astype(np.float32)
+    vx = rng.uniform(-20, 25, size=shape).astype(np.float32)
+    vy = rng.uniform(-3, 3, size=shape).astype(np.float32)
+    vz = rng.uniform(-3, 3, size=shape).astype(np.float32)
+    return (jnp.asarray(prev), jnp.asarray(vx), jnp.asarray(vy),
+            jnp.asarray(vz))
+
+
+def test_lane_lerp_interpret_matches_numpy():
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(40, 66)).astype(np.float32)
+    xb = rng.uniform(0.5, 64.5, size=(40, 66)).astype(np.float32)
+    got = np.asarray(lane_lerp(jnp.asarray(arr), jnp.asarray(xb),
+                               interpret=True))
+    i0 = np.floor(xb).astype(np.int64)
+    s = xb - i0
+    want = (np.take_along_axis(arr, i0, 1) * (1 - s)
+            + np.take_along_axis(arr, i0 + 1, 1) * s)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_lane_lerp_two_window_interpret():
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(40, 130)).astype(np.float32)
+    xb = rng.uniform(0.5, 128.5, size=(40, 128)).astype(np.float32)
+    got = np.asarray(lane_lerp(jnp.asarray(arr), jnp.asarray(xb),
+                               interpret=True))
+    i0 = np.floor(xb).astype(np.int64)
+    s = xb - i0
+    want = (np.take_along_axis(arr, i0, 1) * (1 - s)
+            + np.take_along_axis(arr, i0 + 1, 1) * s)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_advect_split_kernel_matches_reference():
+    prev, vx, vy, vz = _fields()
+    want = advect_split_reference(prev, vx, vy, vz, 0.05)
+    got = np.asarray(advect_split(prev, vx, vy, vz, 0.05, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_advect_split_jnp_matches_reference():
+    prev, vx, vy, vz = _fields(seed=3)
+    want = advect_split_reference(prev, vx, vy, vz, 0.05)
+    got = np.asarray(advect_split_jnp(prev, vx, vy, vz, 0.05))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_split_mode_model_tracks_compat():
+    p = SimParams(width=16, height=8, depth=8, acc=6)
+    wt_c = WindTunnel(p)
+    wt_s = WindTunnel(p.replace(mode="split"))
+    _, sc = wt_c.simulate(steps=5)
+    _, ss = wt_s.simulate(steps=5)
+    a = np.asarray(sc.density_sum)
+    b = np.asarray(ss.density_sum)
+    assert np.all(np.isfinite(b)) and np.all(np.diff(b) > 0)
+    assert 0.4 < b[-1] / a[-1] < 2.5
+    for f in wt_s.state:
+        assert np.all(np.isfinite(np.asarray(f)))
+    # solid-cell invariant holds in split mode too
+    from fluid_simulation_tpu.scene.primitives import empty_obstacles, add_sphere
+    obs = add_sphere(empty_obstacles(16, 8, 8), 8, 4, 4, 2.5)
+    wt_o = WindTunnel(p.replace(mode="split"), obstacles=obs)
+    wt_o.simulate(steps=4)
+    solid = np.asarray(obs) >= 0.5
+    for f in wt_o.state:
+        assert np.all(np.asarray(f)[solid] == 0.0)
