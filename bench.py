@@ -69,7 +69,8 @@ def main():
         assert np.isfinite(dens_sum) and dens_sum > 0, dens_sum
         return best, dens_sum
 
-    base = SimParams()                   # 128x64x64 reference defaults
+    # 128x64x64 reference defaults; like the reference, no residual pass
+    base = SimParams(div_stats=False)
     t_split, dens_split = measure(base.replace(mode="split"), reps=4)
     t_compat, dens_compat = measure(base, reps=2)
 

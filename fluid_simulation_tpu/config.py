@@ -71,6 +71,11 @@ class SimParams:
     # jnp path automatically when unsupported, e.g. on CPU test runs).
     use_pallas: bool = True
 
+    # Compute the max-|divergence| residual in StepStats (an extra stencil
+    # pass per step; the reference computes no residual at all). Density sums
+    # are always collected.
+    div_stats: bool = True
+
     @property
     def interior_shape(self) -> Tuple[int, int, int]:
         """(D, H, W) — z-major so x is the fastest/lane axis."""

@@ -39,8 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _lerp_kernel_single(arr_ref, xb_ref, out_ref):
     """C <= 128: out[r, c] = lerp(arr[r, i0], arr[r, i0+1], frac)."""
+    C = arr_ref.shape[1]
     xb = xb_ref[...]
-    i0 = jnp.floor(xb).astype(jnp.int32)
+    # clamp guards the padded rows of a partial final grid block, whose index
+    # lanes are undefined
+    i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
     s = xb - i0.astype(xb.dtype)
     arr = arr_ref[...]
     a = jnp.take_along_axis(arr, i0, axis=1)
@@ -57,7 +60,7 @@ def _lerp_kernel_two_window(arr_ref, xb_ref, out_ref):
     C = arr_ref.shape[1]
     off = C - 128
     xb = xb_ref[...]
-    i0 = jnp.floor(xb).astype(jnp.int32)
+    i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
     s = xb - i0.astype(xb.dtype)
     w0 = arr_ref[:, 0:128]
     w1 = arr_ref[:, off:C]
@@ -95,17 +98,28 @@ def lane_lerp(arr2d: jnp.ndarray, xb2d: jnp.ndarray,
         kernel = _lerp_kernel_two_window
     else:
         raise ValueError(f"gather axis too wide for the lane kernel: {C}")
+    # block over rows: bounds VMEM independent of the row count (the default
+    # scoped-vmem budget is ~43 MB; a whole stacked flagship pass needs 63 MB)
+    R_BLK = min(R, 4096)
+    grid = (pl.cdiv(R, R_BLK),)
     return pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((R, Co), arr2d.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((R_BLK, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(arr2d, xb2d)
 
 
 def lane_lerp_supported(padded_shape) -> bool:
-    D2, H2, W2 = padded_shape
+    D2, H2, W2 = padded_shape[-3:]
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     # x pass: out width W <= 128 and source W2 <= 256; y/z: axis <= 128
@@ -120,17 +134,29 @@ def _coords(n: int, dtype):
 def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
                  vz: jnp.ndarray, dt_: float,
                  interpret: bool = False) -> jnp.ndarray:
-    """Split advection of one padded field through (vx, vy, vz).
+    """Split advection of padded field(s) through (vx, vy, vz).
 
-    Returns the advected *interior* (D, H, W); the caller applies solid
-    masking and boundaries. Displacements use the velocity at the output
-    cell (simultaneous/fast-style), per-axis scaling and clamps as the
-    reference (simulation.cpp:384-390).
+    ``prev`` is one padded field (D2, H2, W2) or a stack (B, D2, H2, W2) of
+    fields advected through the *same* velocity (the per-pass gather indices
+    are computed once and shared). Returns advected interior(s)
+    (B?, D, H, W); the caller applies solid masking and boundaries.
+    Displacements use the velocity at the output cell (simultaneous/fast
+    style), per-axis scaling and clamps as the reference
+    (simulation.cpp:384-390).
     """
+    squeeze = prev.ndim == 3
+    if squeeze:
+        prev = prev[None]
+    Bn = prev.shape[0]
     dtype = prev.dtype
-    D2, H2, W2 = prev.shape
+    _, D2, H2, W2 = prev.shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     dt = np.float32(dt_)
+
+    def tile(idx2d):
+        """Share one index plane across the B stacked fields."""
+        return jnp.broadcast_to(idx2d, (Bn,) + idx2d.shape).reshape(
+            Bn * idx2d.shape[0], idx2d.shape[1])
 
     # ---- x pass: rows = (z, y) incl. ghost rows; out width W
     xi = _coords(W, dtype).reshape(1, 1, W)
@@ -140,71 +166,77 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
         # single-window kernel wants idx width == W2: edge-pad, slice after
         xb_full = jnp.concatenate(
             [xb[:, :, :1], xb, xb[:, :, -1:]], axis=2)
-        a = lane_lerp(prev.reshape(D2 * H2, W2),
-                      xb_full.reshape(D2 * H2, W2),
+        a = lane_lerp(prev.reshape(Bn * D2 * H2, W2),
+                      tile(xb_full.reshape(D2 * H2, W2)),
                       interpret=interpret)[:, 1:-1]
     else:
-        a = lane_lerp(prev.reshape(D2 * H2, W2),
-                      xb.reshape(D2 * H2, W), interpret=interpret)
-    A = a.reshape(D2, H2, W)
+        a = lane_lerp(prev.reshape(Bn * D2 * H2, W2),
+                      tile(xb.reshape(D2 * H2, W)), interpret=interpret)
+    A = a.reshape(Bn, D2, H2, W)
 
     # ---- y pass: transpose y to lanes; rows = (z incl. ghosts, x interior)
     yi = _coords(H, dtype).reshape(1, H, 1)
     yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
                   * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)  # (D2, H, W)
-    At = jnp.swapaxes(A, 1, 2)                       # (D2, W, H2)
+    At = jnp.swapaxes(A, 2, 3)                       # (B, D2, W, H2)
     ybt = jnp.swapaxes(yb, 1, 2)                     # (D2, W, H)
     # the single-window kernel wants idx width == H2; the two extra output
     # lanes are edge-duplicated indices and sliced away below
     ybt_full = jnp.concatenate(
         [ybt[:, :, :1], ybt, ybt[:, :, -1:]], axis=2)        # (D2, W, H2)
-    b = lane_lerp(At.reshape(D2 * W, H2),
-                  ybt_full.reshape(D2 * W, H2), interpret=interpret)
-    B = jnp.swapaxes(b.reshape(D2, W, H2), 1, 2)[:, 1:-1, :]  # (D2, H, W)
+    b = lane_lerp(At.reshape(Bn * D2 * W, H2),
+                  tile(ybt_full.reshape(D2 * W, H2)), interpret=interpret)
+    B = jnp.swapaxes(b.reshape(Bn, D2, W, H2), 2, 3)[:, :, 1:-1, :]
 
     # ---- z pass: transpose z to lanes; rows = (y, x)
     zi = _coords(D, dtype).reshape(D, 1, 1)
     zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
                   * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
-    Bt = jnp.transpose(B, (1, 2, 0))                 # (H, W, D2)
+    Bt = jnp.transpose(B, (0, 2, 3, 1))              # (B, H, W, D2)
     zbt = jnp.transpose(zb, (1, 2, 0))               # (H, W, D)
     zbt_full = jnp.concatenate(
         [zbt[:, :, :1], zbt, zbt[:, :, -1:]], axis=2)        # (H, W, D2)
-    c = lane_lerp(Bt.reshape(H * W, D2),
-                  zbt_full.reshape(H * W, D2), interpret=interpret)
-    out = jnp.transpose(c.reshape(H, W, D2), (2, 0, 1))[1:-1]  # (D, H, W)
-    return out
+    c = lane_lerp(Bt.reshape(Bn * H * W, D2),
+                  tile(zbt_full.reshape(H * W, D2)), interpret=interpret)
+    out = jnp.transpose(c.reshape(Bn, H, W, D2), (0, 3, 1, 2))[:, 1:-1]
+    return out[0] if squeeze else out
 
 
 def advect_split_jnp(prev, vx, vy, vz, dt_):
     """XLA fallback of advect_split (CPU, or grids outside the lane-kernel
-    limits): same three passes with jnp.take_along_axis."""
+    limits): same three passes with jnp.take_along_axis. Accepts the same
+    optional leading stack axis as advect_split."""
+    squeeze = prev.ndim == 3
+    if squeeze:
+        prev = prev[None]
     dtype = prev.dtype
-    D2, H2, W2 = prev.shape
+    _, D2, H2, W2 = prev.shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     dt = np.float32(dt_)
 
     def lerp(arr, coords, axis):
         i0 = jnp.floor(coords).astype(jnp.int32)
         s = coords - i0.astype(dtype)
-        a = jnp.take_along_axis(arr, i0, axis=axis)
-        b = jnp.take_along_axis(arr, i0 + 1, axis=axis)
+        i0b = jnp.broadcast_to(i0[None], arr.shape[:1] + i0.shape)
+        a = jnp.take_along_axis(arr, i0b, axis=axis)
+        b = jnp.take_along_axis(arr, i0b + 1, axis=axis)
         return a * (1.0 - s) + b * s
 
     xi = _coords(W, dtype).reshape(1, 1, W)
     xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
                   * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
-    A = lerp(prev, xb, axis=2)
+    A = lerp(prev, xb, axis=3)
 
     yi = _coords(H, dtype).reshape(1, H, 1)
     yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
                   * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)
-    B = lerp(A, yb, axis=1)
+    B = lerp(A, yb, axis=2)
 
     zi = _coords(D, dtype).reshape(D, 1, 1)
     zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
                   * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
-    return lerp(B, zb, axis=0)
+    out = lerp(B, zb, axis=1)
+    return out[0] if squeeze else out
 
 
 def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):

@@ -134,15 +134,16 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         vx, vy, vz = outs
     elif p.mode == "split":
         # Operator-split advection (kernels/advect_pallas.py): three 1-D
-        # lane-gather passes per field — the fastest TPU path; standard
-        # production formulation, not bit-compatible with the trilinear
-        # backtrace.
+        # lane-gather passes — the fastest TPU path; standard production
+        # formulation, not bit-compatible with the trilinear backtrace. The
+        # three components ride one stacked pipeline (shared gather indices).
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
+        stacked = jnp.stack([pvx, pvy, pvz])
+        smp = advect_split_auto(stacked, vx, vy, vz, p.dt,
+                                use_pallas=p.use_pallas) * masks.fluid_i
         outs = []
-        for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
-            smp = advect_split_auto(prev, vx, vy, vz, p.dt,
-                                    use_pallas=p.use_pallas) * masks.fluid_i
-            f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
+        for b in (1, 2, 3):
+            f = jnp.zeros_like(pvx).at[1:-1, 1:-1, 1:-1].set(smp[b - 1])
             outs.append(set_bounds(b, f, masks, p.wall_mode))
         vx, vy, vz = outs
     else:
@@ -165,11 +166,13 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode)
 
     new_state = FluidState(vx, vy, vz, dens)
-    h = grid_h(p.width, p.height, p.depth)
-    stats = StepStats(
-        density_sum=jnp.sum(dens, dtype=jnp.float32),
-        max_divergence=jnp.max(jnp.abs(divergence(vx, vy, vz, masks, h))),
-    )
+    if p.div_stats:
+        h = grid_h(p.width, p.height, p.depth)
+        max_div = jnp.max(jnp.abs(divergence(vx, vy, vz, masks, h)))
+    else:
+        max_div = jnp.asarray(jnp.nan, jnp.float32)
+    stats = StepStats(density_sum=jnp.sum(dens, dtype=jnp.float32),
+                      max_divergence=max_div)
     return new_state, stats
 
 

@@ -1,0 +1,73 @@
+"""CLI smoke tests (in-process, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fluid_simulation_tpu import cli
+
+
+def test_cli_run_dump_resume_export(tmp_path):
+    dump = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    rc = cli.main([
+        "run", "--width", "16", "--height", "8", "--depth", "8",
+        "--steps", "4", "--acc", "4", "--sphere", "8,4,4,2",
+        "--dump-dir", dump, "--ckpt-dir", ckpt, "--chunk", "2",
+    ])
+    assert rc == 0
+    frame_bytes = 18 * 10 * 10 * 4
+    assert os.path.getsize(os.path.join(dump, "data.bin")) == 4 * frame_bytes
+    with open(os.path.join(dump, "meta.json")) as f:
+        assert json.load(f)["width"] == 16
+
+    rc = cli.main(["resume", "--ckpt-dir", ckpt, "--steps", "2"])
+    assert rc == 0
+
+    out = str(tmp_path / "pngs")
+    rc = cli.main(["export-pngs", "--data-dir", dump, "--out-dir", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "density", "3.png"))
+
+
+def test_cli_mode_choices():
+    with pytest.raises(SystemExit):
+        cli.main(["run", "--mode", "warp9", "--steps", "1"])
+
+
+def test_cli_split_mode(tmp_path):
+    rc = cli.main([
+        "run", "--width", "16", "--height", "8", "--depth", "8",
+        "--steps", "3", "--acc", "4", "--mode", "split",
+        "--dump-dir", str(tmp_path / "d"),
+    ])
+    assert rc == 0
+
+
+def test_step_logger_and_timer(capsys):
+    import logging
+    from fluid_simulation_tpu.config import SimParams
+    from fluid_simulation_tpu.models.windtunnel import WindTunnel
+    from fluid_simulation_tpu.utils.logging import StepLogger
+    from fluid_simulation_tpu.utils.profiling import Timer
+
+    # the module logger caches its handler on first use (possibly bound to a
+    # previous test's captured stdout) — rebind to this test's capture
+    lg = logging.getLogger("fluid_simulation_tpu")
+    for h in list(lg.handlers):
+        lg.removeHandler(h)
+
+    wt = WindTunnel(SimParams(width=8, height=4, depth=4, acc=2))
+    with Timer(sync_on=None) as t:
+        wt.simulate(steps=2)
+    assert t.seconds is not None and t.seconds >= 0
+
+    log = StepLogger(every=1)
+    log.banner(wt.params)
+    log.step(1, 0.5, 0.1)
+    log.final_stats(wt.state)
+    out = capsys.readouterr().out
+    assert "starting 3-D simulation: 8x4x4" in out
+    assert "density sum" in out and "velocity x" in out
