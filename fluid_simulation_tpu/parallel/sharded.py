@@ -209,6 +209,49 @@ def _advect(b, prev, vx, vy, vz, lm, keep, params, n, i):
     return _set_bounds_ex(b, out, keep, params.wall_mode, n, i)
 
 
+def _advect_split_local(prev, vx, vy, vz, lm, keep, params, n, i):
+    """Sharded operator-split advection (mode='split').
+
+    The x and y passes are slab-local: ghost-z rows are computed from halo
+    values, which equal the neighbors' interior rows, so the intermediate
+    field needs no extra exchange. The z pass's reach is global (the clamp is
+    to the global domain, simulation.cpp:388-390), so the intermediate is
+    all-gathered once per field — the same ICI cost as the compat path's
+    prev gather. Matches the single-chip split mode to ulp.
+    """
+    p = params
+    dtype = prev.dtype
+    Dl = prev.shape[0] - 2
+    W, H, D = p.width, p.height, p.depth
+    dt = np.float32(p.dt)
+
+    def lerp(arr, coords, axis):
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        s = coords - i0.astype(dtype)
+        a = jnp.take_along_axis(arr, i0, axis=axis)
+        b = jnp.take_along_axis(arr, i0 + 1, axis=axis)
+        return a * (1.0 - s) + b * s
+
+    xi = jnp.arange(1, W + 1, dtype=dtype).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
+                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+    A = lerp(prev, xb, axis=2)                      # (Dl+2, H2, W)
+
+    yi = jnp.arange(1, H + 1, dtype=dtype).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
+                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)
+    B = lerp(A, yb, axis=1)                         # (Dl+2, H, W)
+
+    Bg = _gather_global(B, n)                       # (D+2, H, W)
+    zi_g = (jnp.arange(1, Dl + 1, dtype=dtype).reshape(Dl, 1, 1)
+            + (i * Dl).astype(dtype))
+    zb = jnp.clip(zi_g - jnp.asarray(dt * np.float32(D), dtype)
+                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+    sampled = lerp(Bg, zb, axis=0) * lm.fluid_i     # (Dl, H, W)
+    out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
+    return out
+
+
 def _divergence_local(vx, vy, vz, lm, h, dtype):
     hh = jnp.asarray(np.float32(-0.5) * np.float32(h), dtype)
     xp, xm, yp, ym, zp, zm = lm.nb
@@ -266,8 +309,9 @@ def _local_step(state: FluidState, solid, params: SimParams
     if p.vorticity:
         raise NotImplementedError("vorticity confinement is single-chip only "
                                   "for now (needs one more halo exchange)")
-    if p.mode != "compat":
-        raise NotImplementedError("sharded mode implements compat semantics")
+    if p.mode not in ("compat", "split"):
+        raise NotImplementedError(
+            f"sharded mode supports 'compat' and 'split', got {p.mode!r}")
     n = lax.axis_size(AXIS)
     i = lax.axis_index(AXIS)
     Dl = state.vx.shape[0] - 2
@@ -298,14 +342,27 @@ def _local_step(state: FluidState, solid, params: SimParams
 
     vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
 
-    vx2 = _advect(1, pvx, vx, vy, vz, lm, lm.keep_vel, p, n, i)
-    vy2 = _advect(2, pvy, vx2, vy, vz, lm, lm.keep_vel, p, n, i)
-    vz2 = _advect(3, pvz, vx2, vy2, vz, lm, lm.keep_vel, p, n, i)
-    vx, vy, vz = vx2, vy2, vz2
+    if p.mode == "split":
+        outs = []
+        for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
+            f = _advect_split_local(prev, vx, vy, vz, lm, lm.keep_vel,
+                                    p, n, i)
+            outs.append(_set_bounds_ex(b, f, lm.keep_vel, p.wall_mode, n, i))
+        vx, vy, vz = outs
+    else:
+        vx2 = _advect(1, pvx, vx, vy, vz, lm, lm.keep_vel, p, n, i)
+        vy2 = _advect(2, pvy, vx2, vy, vz, lm, lm.keep_vel, p, n, i)
+        vz2 = _advect(3, pvz, vx2, vy2, vz, lm, lm.keep_vel, p, n, i)
+        vx, vy, vz = vx2, vy2, vz2
 
     vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
 
-    dens = _advect(0, buffer, vx, vy, vz, lm, lm.keep_scalar, p, n, i)
+    if p.mode == "split":
+        dens = _advect_split_local(buffer, vx, vy, vz, lm, lm.keep_scalar,
+                                   p, n, i)
+        dens = _set_bounds_ex(0, dens, lm.keep_scalar, p.wall_mode, n, i)
+    else:
+        dens = _advect(0, buffer, vx, vy, vz, lm, lm.keep_scalar, p, n, i)
 
     # stats: interior + global ghost slabs (edge ranks only), summed over chips
     def global_sum(f):

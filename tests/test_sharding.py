@@ -56,3 +56,23 @@ def test_sharded_empty_tunnel_runs():
     _, stats = sw.simulate(steps=3)
     s = np.asarray(stats.density_sum)
     assert s.shape == (3,) and np.all(np.isfinite(s)) and np.all(np.diff(s) > 0)
+
+
+def test_sharded_split_matches_single_chip():
+    if jax.device_count() < 4:
+        pytest.skip("not enough virtual devices")
+    p = PARAMS.replace(mode="split")
+    obs = add_sphere(empty_obstacles(16, 8, 8), cx=8, cy=4, cz=4, radius=2.5)
+
+    ref = WindTunnel(p, obstacles=obs)
+    ref.simulate(steps=4)
+
+    sw = ShardedWindTunnel(p, obstacles=obs, n_devices=4)
+    sw.simulate(steps=4)
+    got = sw.global_state()
+
+    for name, a, b in zip(("vx", "vy", "vz", "dens"), ref.state, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * scale,
+                                   err_msg=name)
