@@ -105,7 +105,12 @@ def cmd_run(args):
     log.banner(params)
 
     t0 = time.time()
-    if args.dump_dir:
+    if args.render_dir:
+        from fluid_simulation_tpu.viz.export import render_live
+        n = render_live(wt, args.steps, args.render_dir,
+                        every=args.render_every, chunk=args.chunk)
+        log.log.info("rendered %d on-device frames to %s", n, args.render_dir)
+    elif args.dump_dir:
         run_and_dump(wt, args.steps, args.dump_dir, chunk=args.chunk)
     else:
         done = 0
@@ -180,6 +185,10 @@ def main(argv=None):
     rp = sub.add_parser("run", help="run a simulation")
     _add_sim_args(rp)
     rp.add_argument("--dump-dir", help="write reference-contract .bin frames")
+    rp.add_argument("--render-dir",
+                    help="stream device-rendered slice PNGs instead of raw "
+                         "frame dumps")
+    rp.add_argument("--render-every", type=int, default=1)
     rp.add_argument("--ckpt-dir", help="write a checkpoint at the end")
     rp.add_argument("--chunk", type=int, default=10, help="scan burst size")
     rp.add_argument("--log-every", type=int, default=100)

@@ -186,12 +186,32 @@ def read_last_frame(data_dir: str, dims: Optional[Tuple[int, int, int]] = None
     return out
 
 
+class SimulationDiverged(RuntimeError):
+    """Raised by the NaN watchdog; carries the last-good checkpoint path."""
+
+    def __init__(self, step, ckpt_path):
+        super().__init__(
+            f"non-finite fields at step {step}"
+            + (f"; last good checkpoint: {ckpt_path}" if ckpt_path else ""))
+        self.step = step
+        self.ckpt_path = ckpt_path
+
+
 def run_and_dump(wt, steps: int, out_dir: str, chunk: int = 10,
-                 async_io: bool = True, backend: str = "python"):
+                 async_io: bool = True, backend: str = "python",
+                 guard_nan: bool = True):
     """Advance a WindTunnel ``steps`` steps, streaming every frame to disk in
     the reference contract. The scan runs on device in ``chunk``-step bursts;
-    transfers overlap the next burst via the writer thread."""
+    transfers overlap the next burst via the writer thread.
+
+    ``guard_nan`` adds a failure detector the reference lacks (SURVEY.md §5):
+    each flushed burst is checked for non-finite fields; on divergence the
+    last good state is checkpointed next to the dump and
+    ``SimulationDiverged`` raised, so long runs never silently write garbage.
+    """
     obs_np = np.asarray(wt.obstacles, dtype=np.float32)
+    # (vx, vy, vz, dens) host copies of the last finite state
+    last_good = tuple(np.asarray(f) for f in wt.state) if guard_nan else None
     with FrameWriter(out_dir, wt.params, async_io=async_io,
                      backend=backend) as w:
         done = 0
@@ -200,6 +220,16 @@ def run_and_dump(wt, steps: int, out_dir: str, chunk: int = 10,
             _, ys = wt.simulate(steps=n, record=True)
             _, states = ys
             host = {k: np.asarray(v) for k, v in states._asdict().items()}
+            if guard_nan and not all(np.isfinite(v).all()
+                                     for v in host.values()):
+                from fluid_simulation_tpu.io.checkpoint import save_checkpoint
+                from fluid_simulation_tpu.models.windtunnel import FluidState
+                ckpt = save_checkpoint(
+                    os.path.join(out_dir, "emergency_ckpt"),
+                    FluidState(**{k: last_good[i] for i, k in
+                                  enumerate(("vx", "vy", "vz", "dens"))}),
+                    done, wt.params, obstacles=obs_np)
+                raise SimulationDiverged(done + n, ckpt)
             for i in range(n):
                 w.append({
                     "dens": host["dens"][i], "obs": obs_np,
@@ -207,4 +237,7 @@ def run_and_dump(wt, steps: int, out_dir: str, chunk: int = 10,
                     "vz": host["vz"][i],
                 })
             done += n
+            if guard_nan:
+                last_good = (host["vx"][-1], host["vy"][-1],
+                             host["vz"][-1], host["dens"][-1])
     return wt.state

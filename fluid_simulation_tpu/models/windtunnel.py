@@ -226,6 +226,43 @@ class WindTunnel:
                                   steps=steps, record=record)
         return self.state, ys
 
+    # -- single-cell edit API (simulation.cpp:155-178) --------------------
+    # Setup-time helpers; edits land in host NumPy copies (cheap, and jit
+    # re-uploads on the next step — never create eager device arrays here).
+
+    def add_obstacle(self, x: int, y: int, z: int):
+        """Mark one interior cell solid (Simulation::addObstacle) and refresh
+        the derived masks."""
+        self._check_cell(x, y, z)
+        self.obstacles[z, y, x] = 1.0
+        self.masks = build_masks(self.obstacles, dtype=_dtype(self.params))
+
+    def add_density(self, x: int, y: int, z: int, amount: float):
+        """Add density to one cell (Simulation::addDensity)."""
+        self._check_cell(x, y, z)
+        dens = np.array(self.state.dens)
+        dens[z, y, x] += np.float32(amount)
+        self.state = self.state._replace(dens=dens)
+
+    def set_velocity(self, x: int, y: int, z: int,
+                     vx: float, vy: float, vz: float):
+        """Set the velocity of one cell (Simulation::setVelocity)."""
+        self._check_cell(x, y, z)
+        new = {k: np.array(v) for k, v in
+               zip(("vx", "vy", "vz"), (self.state.vx, self.state.vy,
+                                        self.state.vz))}
+        for key, val in zip(("vx", "vy", "vz"), (vx, vy, vz)):
+            new[key][z, y, x] = np.float32(val)
+        self.state = self.state._replace(**new)
+
+    def _check_cell(self, x, y, z):
+        p = self.params
+        if not (1 <= x <= p.width and 1 <= y <= p.height
+                and 1 <= z <= p.depth):
+            raise ValueError(
+                f"cell ({x},{y},{z}) outside interior "
+                f"1..{p.width} x 1..{p.height} x 1..{p.depth}")
+
     def density_sum(self) -> float:
         return float(_density_sum(self.state))
 

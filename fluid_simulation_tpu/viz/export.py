@@ -29,6 +29,39 @@ def _write_png(path: str, rgb: np.ndarray):
     plt.imsave(path, rgb)
 
 
+def render_live(wt, steps: int, out_dir: str, every: int = 1,
+                z_slice: Optional[int] = None, kind: str = "dens",
+                chunk: int = 10) -> int:
+    """Simulate and stream *device-rendered* frames: the slice is colormapped
+    and obstacle-shaded on the TPU (viz/slices.render_frame_device) so only
+    KB-sized RGB images cross to the host — the BASELINE north-star
+    replacement for dumping 11.3 MB raw grids per step. Returns the number of
+    images written."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.viz.slices import render_frame_device
+
+    os.makedirs(out_dir, exist_ok=True)
+    D2 = wt.params.padded_shape[0]
+    z = D2 // 2 if z_slice is None else z_slice
+    obs = jnp.asarray(wt.obstacles)  # uploaded once; jit input thereafter
+    written = 0
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        _, ys = wt.simulate(steps=n, record=True)
+        _, states = ys
+        field = getattr(states, kind)
+        for i in range(n):
+            step_idx = done + i
+            if step_idx % every:
+                continue
+            rgb = np.asarray(render_frame_device(field[i], obs, z, kind))
+            _write_png(os.path.join(out_dir, f"{step_idx:05d}.png"), rgb)
+            written += 1
+        done += n
+    return written
+
+
 def export_pngs(data_dir: str, out_dir: str, z_slice: Optional[int] = None,
                 dims: Optional[Tuple[int, int, int]] = None) -> int:
     """Render every frame; returns the number of images written."""

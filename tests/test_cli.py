@@ -71,3 +71,15 @@ def test_step_logger_and_timer(capsys):
     out = capsys.readouterr().out
     assert "starting 3-D simulation: 8x4x4" in out
     assert "density sum" in out and "velocity x" in out
+
+
+def test_cli_render_live(tmp_path):
+    out = str(tmp_path / "frames")
+    rc = cli.main([
+        "run", "--width", "16", "--height", "8", "--depth", "8",
+        "--steps", "6", "--acc", "4", "--sphere", "8,4,4,2",
+        "--render-dir", out, "--render-every", "2", "--chunk", "3",
+    ])
+    assert rc == 0
+    names = sorted(os.listdir(out))
+    assert names == ["00000.png", "00002.png", "00004.png"]

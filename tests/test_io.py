@@ -89,3 +89,28 @@ def test_checkpoint_retention(tmp_path):
     names = sorted(os.listdir(ck))
     assert sum(n.startswith("ckpt_") for n in names) == 2
     assert latest_checkpoint(ck).endswith("ckpt_00000004.npz")
+
+
+def test_nan_watchdog(tmp_path):
+    # the failure detector the reference lacks (SURVEY.md §5): divergence
+    # triggers an emergency checkpoint and a loud error
+    import pytest
+    from fluid_simulation_tpu.io.dump import SimulationDiverged
+    from fluid_simulation_tpu.io.checkpoint import load_checkpoint
+
+    d = str(tmp_path / "data")
+    # a dt so large the advection/projection blow up immediately is hard to
+    # provoke in this stable scheme; inject the divergence directly instead
+    wt = WindTunnel(P)
+    wt.simulate(steps=1)
+    bad = np.asarray(wt.state.vx).copy()
+    bad[3, 3, 3] = np.nan
+    wt.state = wt.state._replace(vx=bad)
+    with pytest.raises(SimulationDiverged) as e:
+        run_and_dump(wt, steps=4, out_dir=d, chunk=2)
+    assert e.value.ckpt_path and os.path.exists(e.value.ckpt_path)
+    # the checkpoint is the state before the diverging chunk (here: the
+    # injected state itself), and no garbage frames were written
+    state, step, params, obstacles = load_checkpoint(e.value.ckpt_path)
+    np.testing.assert_array_equal(np.asarray(state.vx), bad)
+    assert os.path.getsize(os.path.join(d, "data.bin")) == 0

@@ -88,3 +88,20 @@ def test_bfloat16_mode_runs():
     _, stats = wt.simulate(steps=3)
     assert np.all(np.isfinite(np.asarray(stats.density_sum)))
     assert wt.state.vx.dtype == jnp.bfloat16
+
+
+def test_cell_edit_api():
+    # single-cell helpers (simulation.cpp:155-178)
+    wt = WindTunnel(PARAMS)
+    wt.add_obstacle(5, 4, 4)
+    assert wt.obstacles[4, 4, 5] == 1.0
+    wt.add_density(3, 2, 2, 0.5)
+    wt.add_density(3, 2, 2, 0.25)
+    assert np.isclose(np.asarray(wt.state.dens)[2, 2, 3], 0.75)
+    wt.set_velocity(4, 3, 3, 1.0, 2.0, 3.0)
+    assert np.asarray(wt.state.vy)[3, 3, 4] == 2.0
+    wt.simulate(steps=2)  # edited state still simulates
+    assert np.all(np.asarray(wt.state.vx)[np.asarray(wt.obstacles) >= 0.5] == 0)
+    import pytest
+    with pytest.raises(ValueError):
+        wt.add_obstacle(0, 1, 1)
