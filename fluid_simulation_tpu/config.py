@@ -76,6 +76,13 @@ class SimParams:
     # are always collected.
     div_stats: bool = True
 
+    # Set automatically by WindTunnel when the obstacle field is empty: every
+    # obstacle-mask multiply is then an exact multiply-by-1.0 identity, so
+    # the full-array passes are skipped statically (numerically identical —
+    # x*1.0 == x for every f32 including -0/inf/NaN). Never set it for a
+    # scene that has solids.
+    empty_scene: bool = False
+
     @property
     def interior_shape(self) -> Tuple[int, int, int]:
         """(D, H, W) — z-major so x is the fastest/lane axis."""

@@ -57,7 +57,7 @@ def pallas_solve_supported(shape, dtype=jnp.float32) -> bool:
 
 
 def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
-                 shape, dtype):
+                 shape, dtype, apply_keep: bool = True):
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     # python-float literals embed in the kernel as constants (pallas kernels
@@ -75,6 +75,12 @@ def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
         sz = -1.0 if b == 3 else 1.0
 
     def kernel(prev_ref, keep_ref, field_ref, out_ref):
+        _kernel_body(prev_ref, keep_ref, field_ref, out_ref)
+
+    def kernel_nokeep(prev_ref, field_ref, out_ref):
+        _kernel_body(prev_ref, None, field_ref, out_ref)
+
+    def _kernel_body(prev_ref, keep_ref, field_ref, out_ref):
         out_ref[...] = field_ref[...]
         prev_i = prev_ref[1:-1, 1:-1, 1:-1]
         # red = cells whose 1-based coordinate sum is even (masks.py red_i)
@@ -107,40 +113,48 @@ def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
             out_ref[1:-1, H + 1, 1:-1] = sy * out_ref[1:-1, H, 1:-1]
             out_ref[0, 1:-1, 1:-1] = sz * out_ref[1, 1:-1, 1:-1]
             out_ref[D + 1, 1:-1, 1:-1] = sz * out_ref[D, 1:-1, 1:-1]
-            out_ref[...] = out_ref[...] * keep_ref[...]
+            if apply_keep:
+                out_ref[...] = out_ref[...] * keep_ref[...]
             return 0
 
         jax.lax.fori_loop(0, acc, sweep, 0)
 
-    return kernel
+    return kernel if apply_keep else kernel_nokeep
 
 
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "acc",
-                                              "wall_mode", "interpret"))
+                                              "wall_mode", "interpret",
+                                              "empty_scene"))
 def pallas_rbgs_solve(b: int, field: jnp.ndarray, prev: jnp.ndarray,
-                      keep: jnp.ndarray, a: float, c: float, acc: int = 15,
+                      keep, a: float, c: float, acc: int = 15,
                       wall_mode: str = "reference",
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      empty_scene: bool = False) -> jnp.ndarray:
     """Drop-in equivalent of ``linear_solver(..., solver='rbgs')`` for the
     padded-field layout; ``keep`` is the padded obstacle multiplier
     (masks.keep_vel for velocity components, masks.keep_scalar otherwise).
+    With ``empty_scene`` the keep input is dropped entirely (exact identity
+    when no solids; saves one VMEM-resident array and one VPU pass/sweep).
     ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
     shape = field.shape
-    kernel = _make_kernel(b, acc, a, c, wall_mode, shape, field.dtype)
+    kernel = _make_kernel(b, acc, a, c, wall_mode, shape, field.dtype,
+                          apply_keep=not empty_scene)
     flops = 10 * acc * 2 * int(np.prod(shape))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    n_in = 2 if empty_scene else 3
+    operands = (prev, field) if empty_scene else (prev, keep, field)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shape, field.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        input_output_aliases={2: 0},
+        input_output_aliases={n_in - 1: 0},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * _tiled_bytes(shape),
             transcendentals=0),
         **kwargs,
-    )(prev, keep, field)
+    )(*operands)

@@ -99,7 +99,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     """Advance one full time step. Pure; jitted with ``params`` static."""
     p = params
     kw = dict(acc=p.acc, solver=p.solver, wall_mode=p.wall_mode,
-              use_pallas=p.use_pallas)
+              use_pallas=p.use_pallas, empty_scene=p.empty_scene)
 
     state, buffer = _apply_inlets(state, p)
     vx, vy, vz, dens = state
@@ -115,9 +115,12 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     if p.mode == "compat":
         # Sequential component advection (simulation.cpp:125-127): each later
         # component backtraces through already-advected earlier components.
-        vx2 = advect(1, pvx, vx, vy, vz, masks, p.dt, p.wall_mode)
-        vy2 = advect(2, pvy, vx2, vy, vz, masks, p.dt, p.wall_mode)
-        vz2 = advect(3, pvz, vx2, vy2, vz, masks, p.dt, p.wall_mode)
+        vx2 = advect(1, pvx, vx, vy, vz, masks, p.dt, p.wall_mode,
+                     p.empty_scene)
+        vy2 = advect(2, pvy, vx2, vy, vz, masks, p.dt, p.wall_mode,
+                     p.empty_scene)
+        vz2 = advect(3, pvz, vx2, vy2, vz, masks, p.dt, p.wall_mode,
+                     p.empty_scene)
         vx, vy, vz = vx2, vy2, vz2
     elif p.mode == "fast":
         # Simultaneous advection: one shared backtrace through the projected
@@ -128,9 +131,11 @@ def simulation_step(state: FluidState, masks: SceneMasks,
             p.dt, W, H, D, vx.dtype)
         outs = []
         for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
-            smp = trilinear_gather(prev, xb, yb, zb) * masks.fluid_i
+            smp = trilinear_gather(prev, xb, yb, zb)
+            if not p.empty_scene:
+                smp = smp * masks.fluid_i
             f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
-            outs.append(set_bounds(b, f, masks, p.wall_mode))
+            outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
         vx, vy, vz = outs
     elif p.mode == "split":
         # Operator-split advection (kernels/advect_pallas.py): three 1-D
@@ -140,11 +145,13 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
         stacked = jnp.stack([pvx, pvy, pvz])
         smp = advect_split_auto(stacked, vx, vy, vz, p.dt,
-                                use_pallas=p.use_pallas) * masks.fluid_i
+                                use_pallas=p.use_pallas)
+        if not p.empty_scene:
+            smp = smp * masks.fluid_i
         outs = []
         for b in (1, 2, 3):
             f = jnp.zeros_like(pvx).at[1:-1, 1:-1, 1:-1].set(smp[b - 1])
-            outs.append(set_bounds(b, f, masks, p.wall_mode))
+            outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
         vx, vy, vz = outs
     else:
         raise ValueError(f"unknown mode {p.mode!r}")
@@ -159,11 +166,14 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     if p.mode == "split":
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
         smp = advect_split_auto(buffer, vx, vy, vz, p.dt,
-                                use_pallas=p.use_pallas) * masks.fluid_i
+                                use_pallas=p.use_pallas)
+        if not p.empty_scene:
+            smp = smp * masks.fluid_i
         dens = jnp.zeros_like(buffer).at[1:-1, 1:-1, 1:-1].set(smp)
-        dens = set_bounds(0, dens, masks, p.wall_mode)
+        dens = set_bounds(0, dens, masks, p.wall_mode, p.empty_scene)
     else:
-        dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode)
+        dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode,
+                      p.empty_scene)
 
     new_state = FluidState(vx, vy, vz, dens)
     if p.div_stats:
@@ -210,6 +220,10 @@ class WindTunnel:
         # slow on some backends (see build_masks docstring); jit inputs are
         # transferred host->device cheaply on call.
         self.obstacles = np.asarray(obstacles, np.float32)
+        # empty scenes statically skip obstacle-mask arithmetic (exact
+        # identity); always derived from the actual obstacle field here
+        self.params = params = params.replace(
+            empty_scene=not bool((self.obstacles >= 0.5).any()))
         self.masks = build_masks(self.obstacles, dtype=_dtype(params))
         self.state = init_state(params)
 
@@ -236,6 +250,7 @@ class WindTunnel:
         self._check_cell(x, y, z)
         self.obstacles[z, y, x] = 1.0
         self.masks = build_masks(self.obstacles, dtype=_dtype(self.params))
+        self.params = self.params.replace(empty_scene=False)
 
     def add_density(self, x: int, y: int, z: int, amount: float):
         """Add density to one cell (Simulation::addDensity)."""

@@ -90,6 +90,7 @@ def advect(
     masks: SceneMasks,
     dt: float,
     wall_mode: str = "reference",
+    empty_scene: bool = False,
 ) -> jnp.ndarray:
     """Advect ``prev`` through the velocity field, returning the new field.
 
@@ -112,6 +113,6 @@ def advect(
     # Solids forced to zero (simulation.cpp:375-378). Ghost shell starts as
     # zeros — faces get rewritten by set_bounds, edges/corners stay zero, which
     # matches the reference where they are never written after the ctor.
-    new_i = sampled * masks.fluid_i
+    new_i = sampled if empty_scene else sampled * masks.fluid_i
     out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(new_i)
-    return set_bounds(b, out, masks, wall_mode)
+    return set_bounds(b, out, masks, wall_mode, empty_scene)

@@ -28,18 +28,21 @@ from fluid_simulation_tpu.scene.masks import SceneMasks
 
 
 def set_bounds(b: int, f: jnp.ndarray, masks: SceneMasks,
-               wall_mode: str = "reference") -> jnp.ndarray:
+               wall_mode: str = "reference",
+               empty_scene: bool = False) -> jnp.ndarray:
     """Apply boundary + obstacle conditions to a padded field.
 
     ``b`` is the reference's field tag: 0 scalar, 1/2/3 = x/y/z velocity
     component. Must be a static python int (it selects the face signs).
+    ``empty_scene`` statically skips the obstacle keep-multiply (an exact
+    identity when the scene has no solids).
     """
     if b not in (0, 1, 2, 3):
         raise ValueError(f"b must be 0..3, got {b}")
 
     is_vel = b in (1, 2, 3)
     if wall_mode == "noslip" and is_vel:
-        return _set_bounds_noslip(b, f, masks)
+        return _set_bounds_noslip(b, f, masks, empty_scene)
     if wall_mode not in ("reference", "noslip"):
         raise ValueError(f"unknown wall_mode {wall_mode!r}")
 
@@ -58,11 +61,14 @@ def set_bounds(b: int, f: jnp.ndarray, masks: SceneMasks,
     f = f.at[-1, 1:-1, 1:-1].set(sz * f[-2, 1:-1, 1:-1])
 
     # solid zeroing (+ no-slip ring for velocity), one fused multiply
+    if empty_scene:
+        return f
     keep = masks.keep_vel if is_vel else masks.keep_scalar
     return f * keep
 
 
-def _set_bounds_noslip(b: int, f: jnp.ndarray, masks: SceneMasks) -> jnp.ndarray:
+def _set_bounds_noslip(b: int, f: jnp.ndarray, masks: SceneMasks,
+                       empty_scene: bool = False) -> jnp.ndarray:
     """Hard no-slip walls: every velocity component mirrors negated at the
     y/z walls; the x- inlet face still mirrors (negated only for vx) and x+
     stays an outflow copy so the tunnel remains open."""
@@ -73,4 +79,4 @@ def _set_bounds_noslip(b: int, f: jnp.ndarray, masks: SceneMasks) -> jnp.ndarray
     f = f.at[1:-1, -1, 1:-1].set(-f[1:-1, -2, 1:-1])
     f = f.at[0, 1:-1, 1:-1].set(-f[1, 1:-1, 1:-1])
     f = f.at[-1, 1:-1, 1:-1].set(-f[-2, 1:-1, 1:-1])
-    return f * masks.keep_vel
+    return f if empty_scene else f * masks.keep_vel

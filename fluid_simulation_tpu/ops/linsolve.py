@@ -54,6 +54,7 @@ def linear_solver(
     solver: str = "rbgs",
     wall_mode: str = "reference",
     use_pallas: bool = False,
+    empty_scene: bool = False,
 ) -> jnp.ndarray:
     """Run ``acc`` relaxation sweeps of ``f = (prev + a*sum6(f))/c`` with
     boundary conditions re-applied after each sweep (simulation.cpp:271).
@@ -65,9 +66,11 @@ def linear_solver(
         from fluid_simulation_tpu.kernels.linsolve_pallas import (
             pallas_rbgs_solve, pallas_solve_supported)
         if pallas_solve_supported(f.shape, f.dtype):
-            keep = masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar
+            keep = None if empty_scene else (
+                masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
-                                     acc=acc, wall_mode=wall_mode)
+                                     acc=acc, wall_mode=wall_mode,
+                                     empty_scene=empty_scene)
     dtype = f.dtype
     a = jnp.asarray(a, dtype)
     c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
@@ -77,7 +80,7 @@ def linear_solver(
         def sweep(fc, _):
             upd = _update(fc, prev_i, a, c_recip)
             fc = fc.at[1:-1, 1:-1, 1:-1].set(upd)
-            return set_bounds(b, fc, masks, wall_mode), None
+            return set_bounds(b, fc, masks, wall_mode, empty_scene), None
 
     elif solver == "rbgs":
         red = masks.red_i.astype(bool)
@@ -89,7 +92,7 @@ def linear_solver(
             upd = _update(fc, prev_i, a, c_recip)
             fc = fc.at[1:-1, 1:-1, 1:-1].set(
                 jnp.where(red, fc[1:-1, 1:-1, 1:-1], upd))
-            return set_bounds(b, fc, masks, wall_mode), None
+            return set_bounds(b, fc, masks, wall_mode, empty_scene), None
 
     elif solver == "gs_wavefront":
         D, H, W = masks.interior_shape
@@ -104,7 +107,7 @@ def linear_solver(
                 return fs.at[1:-1, 1:-1, 1:-1].set(
                     jnp.where(coord_sum == s, upd, fs[1:-1, 1:-1, 1:-1]))
             fc = jax.lax.fori_loop(3, W + H + D + 1, stage, fc)
-            return set_bounds(b, fc, masks, wall_mode), None
+            return set_bounds(b, fc, masks, wall_mode, empty_scene), None
 
     else:
         raise ValueError(f"unknown solver {solver!r}")
@@ -134,6 +137,7 @@ def diffuse(
     solver: str = "rbgs",
     wall_mode: str = "reference",
     use_pallas: bool = False,
+    empty_scene: bool = False,
 ) -> jnp.ndarray:
     """Diffusion wrapper (simulation.cpp:278-284). Like the reference, the
     caller chooses the coefficient — velocity compat mode passes ``diff``, not
@@ -141,4 +145,5 @@ def diffuse(
     D2, H2, W2 = f.shape
     a, c = diffusion_coeffs(W2 - 2, H2 - 2, D2 - 2, dt, diff)
     return linear_solver(b, f, prev, a, c, masks, acc=acc, solver=solver,
-                         wall_mode=wall_mode, use_pallas=use_pallas)
+                         wall_mode=wall_mode, use_pallas=use_pallas,
+                         empty_scene=empty_scene)

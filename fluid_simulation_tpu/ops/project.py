@@ -32,7 +32,8 @@ def grid_h(width: int, height: int, depth: int) -> float:
     return float(np.float32(1.0) / np.cbrt(np.float32(width * height * depth)))
 
 
-def divergence(vx, vy, vz, masks: SceneMasks, h: float) -> jnp.ndarray:
+def divergence(vx, vy, vz, masks: SceneMasks, h: float,
+               empty_scene: bool = False) -> jnp.ndarray:
     """Obstacle-aware divergence as a padded field (zero ghost shell, zero in
     solids), matching simulation.cpp:297-316 before its setBounds."""
     dtype = vx.dtype
@@ -42,7 +43,7 @@ def divergence(vx, vy, vz, masks: SceneMasks, h: float) -> jnp.ndarray:
         + vy[1:-1, 2:, 1:-1] * masks.nb_yp - vy[1:-1, :-2, 1:-1] * masks.nb_ym
         + vz[2:, 1:-1, 1:-1] * masks.nb_zp - vz[:-2, 1:-1, 1:-1] * masks.nb_zm
     )
-    div_i = hh * div_val * masks.fluid_i
+    div_i = hh * div_val if empty_scene else hh * div_val * masks.fluid_i
     return jnp.zeros_like(vx).at[1:-1, 1:-1, 1:-1].set(div_i)
 
 
@@ -70,6 +71,7 @@ def project(
     solver: str = "rbgs",
     wall_mode: str = "reference",
     use_pallas: bool = False,
+    empty_scene: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Make the velocity field (approximately) divergence-free.
 
@@ -81,13 +83,14 @@ def project(
     W, H, D = W2 - 2, H2 - 2, D2 - 2
     h = grid_h(W, H, D)
 
-    div = divergence(vx, vy, vz, masks, h)
+    div = divergence(vx, vy, vz, masks, h, empty_scene)
     p = jnp.zeros_like(vx)
 
-    div = set_bounds(0, div, masks, wall_mode)
-    p = set_bounds(0, p, masks, wall_mode)
+    div = set_bounds(0, div, masks, wall_mode, empty_scene)
+    p = set_bounds(0, p, masks, wall_mode, empty_scene)
     p = linear_solver(0, p, div, 1.0, 6.0, masks, acc=acc, solver=solver,
-                      wall_mode=wall_mode, use_pallas=use_pallas)
+                      wall_mode=wall_mode, use_pallas=use_pallas,
+                      empty_scene=empty_scene)
 
     grad_x = _one_axis_gradient(
         p, masks.nb_xp, masks.nb_xm,
@@ -101,12 +104,17 @@ def project(
 
     # Solid cells are skipped by the reference (simulation.cpp:326) — masking
     # the gradient leaves them untouched here too (setBounds zeroes them next).
-    fl = masks.fluid_i
-    vx = vx.at[1:-1, 1:-1, 1:-1].add(-grad_x * fl)
-    vy = vy.at[1:-1, 1:-1, 1:-1].add(-grad_y * fl)
-    vz = vz.at[1:-1, 1:-1, 1:-1].add(-grad_z * fl)
+    if empty_scene:
+        vx = vx.at[1:-1, 1:-1, 1:-1].add(-grad_x)
+        vy = vy.at[1:-1, 1:-1, 1:-1].add(-grad_y)
+        vz = vz.at[1:-1, 1:-1, 1:-1].add(-grad_z)
+    else:
+        fl = masks.fluid_i
+        vx = vx.at[1:-1, 1:-1, 1:-1].add(-grad_x * fl)
+        vy = vy.at[1:-1, 1:-1, 1:-1].add(-grad_y * fl)
+        vz = vz.at[1:-1, 1:-1, 1:-1].add(-grad_z * fl)
 
-    vx = set_bounds(1, vx, masks, wall_mode)
-    vy = set_bounds(2, vy, masks, wall_mode)
-    vz = set_bounds(3, vz, masks, wall_mode)
+    vx = set_bounds(1, vx, masks, wall_mode, empty_scene)
+    vy = set_bounds(2, vy, masks, wall_mode, empty_scene)
+    vz = set_bounds(3, vz, masks, wall_mode, empty_scene)
     return vx, vy, vz, p, div
