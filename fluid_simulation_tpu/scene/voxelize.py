@@ -27,7 +27,7 @@ used automatically when built (same algorithm, same seeding contract).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
