@@ -24,7 +24,7 @@ import json
 import os
 import queue
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

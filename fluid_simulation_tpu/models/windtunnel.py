@@ -18,10 +18,11 @@ Two deliberate deviations, both output-preserving or opt-in:
   rewrites every cell from the *pre*-diffusion ``buffer``
   (simulation.cpp:135-136 with :371-421) — so it is not computed; outputs are
   identical and XLA would DCE it anyway.
-- ``mode='fast'`` switches to *simultaneous* velocity advection (all three
-  components backtraced through the post-projection field, the standard
-  stable-fluids formulation) which shares one backtrace per step; the default
-  ``'compat'`` keeps the reference's sequential chain.
+- the default ``'compat'`` keeps the reference's sequential advection chain;
+  ``mode='fast'`` switches to *simultaneous* trilinear advection (one shared
+  backtrace through the post-projection field, the standard stable-fluids
+  formulation); ``mode='split'`` uses operator-split advection on Mosaic
+  lane-gather kernels — the fastest TPU path (kernels/advect_pallas.py).
 
 The whole time loop runs under ``jax.lax.scan`` — zero host round-trips; the
 reference's per-step 11.3 MB file write (simulation.cpp:140-148) becomes

@@ -82,3 +82,11 @@ def test_split_mode_model_tracks_compat():
     solid = np.asarray(obs) >= 0.5
     for f in wt_o.state:
         assert np.all(np.asarray(f)[solid] == 0.0)
+
+
+def test_split_mode_bfloat16_runs():
+    p = SimParams(width=16, height=8, depth=8, acc=4, mode="split",
+                  dtype="bfloat16")
+    wt = WindTunnel(p)
+    _, stats = wt.simulate(steps=3)
+    assert np.all(np.isfinite(np.asarray(stats.density_sum)))

@@ -144,3 +144,17 @@ def test_export_pngs(small_dump, tmp_path):
     assert n == 18                             # 6 frames x 3 fields
     assert os.path.exists(os.path.join(out, "density", "0.png"))
     assert os.path.exists(os.path.join(out, "velocity_x", "5.png"))
+
+
+def test_matplotlib_viewer_fallback_headless(small_dump, monkeypatch):
+    # the PyQt6-less fallback path must come up and tear down headlessly
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+    monkeypatch.setattr(plt, "show", lambda *a, **k: None)
+    from fluid_simulation_tpu.viz.viewer2d import _launch_matplotlib
+    from fluid_simulation_tpu.io.dump import read_run
+    assert _launch_matplotlib(read_run(small_dump)) == 0
+    from fluid_simulation_tpu.viz.viewer3d import _launch_matplotlib as l3
+    assert l3(small_dump, None, None) == 0
+    plt.close("all")
