@@ -83,3 +83,14 @@ def test_cli_render_live(tmp_path):
     assert rc == 0
     names = sorted(os.listdir(out))
     assert names == ["00000.png", "00002.png", "00004.png"]
+
+
+def test_trace_ctx(tmp_path):
+    from fluid_simulation_tpu.utils.profiling import trace_ctx
+    import jax.numpy as jnp
+    d = str(tmp_path / "trace")
+    with trace_ctx(d):
+        _ = jnp.zeros((8, 8)).sum()
+    assert os.path.isdir(d) and os.listdir(d)   # a trace was captured
+    with trace_ctx(None):                        # no-op path
+        pass

@@ -76,3 +76,27 @@ def test_sharded_split_matches_single_chip():
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * scale,
                                    err_msg=name)
+
+
+def test_sharded_noslip_matches_single_chip():
+    if jax.device_count() < 4:
+        pytest.skip("not enough virtual devices")
+    p = PARAMS.replace(wall_mode="noslip")
+    ref = WindTunnel(p)
+    ref.simulate(steps=3)
+    sw = ShardedWindTunnel(p, n_devices=4)
+    sw.simulate(steps=3)
+    got = sw.global_state()
+    for name, a, b in zip(("vx", "vy", "vz", "dens"), ref.state, got):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-5 * scale,
+                                   err_msg=name)
+
+
+def test_make_mesh():
+    from fluid_simulation_tpu.parallel.mesh import make_mesh
+    m = make_mesh(n_devices=8, batch=2)
+    assert m.axis_names == ("batch", "z") and m.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh(n_devices=6, batch=4)
