@@ -94,6 +94,22 @@ def _apply_inlets(state: FluidState, params: SimParams) -> Tuple[FluidState, jnp
     return FluidState(vx, vy, vz, dens), buffer
 
 
+def _project_dispatch(vx, vy, vz, masks, p: SimParams):
+    """Projection with the whole-stage fused kernel when applicable (empty
+    scene, rbgs, TPU — kernels/project_pallas.py, bit-identical to the
+    composable path); returns (vx, vy, vz) only."""
+    if p.empty_scene and p.use_pallas and p.solver == "rbgs":
+        from fluid_simulation_tpu.kernels.project_pallas import (
+            pallas_project_empty, pallas_project_supported)
+        if pallas_project_supported(vx.shape, vx.dtype):
+            return pallas_project_empty(vx, vy, vz, acc=p.acc,
+                                        wall_mode=p.wall_mode)
+    out = project(vx, vy, vz, masks, acc=p.acc, solver=p.solver,
+                  wall_mode=p.wall_mode, use_pallas=p.use_pallas,
+                  empty_scene=p.empty_scene)
+    return out[0], out[1], out[2]
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def simulation_step(state: FluidState, masks: SceneMasks,
                     params: SimParams) -> Tuple[FluidState, StepStats]:
@@ -111,7 +127,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     vy = diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw)
     vz = diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw)
 
-    vx, vy, vz, _, _ = project(vx, vy, vz, masks, **kw)
+    vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 
     if p.mode == "compat":
         # Sequential component advection (simulation.cpp:125-127): each later
@@ -160,7 +176,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     if p.vorticity:
         vx, vy, vz = apply_confinement(vx, vy, vz, masks, p.vorticity, p.dt)
 
-    vx, vy, vz, _, _ = project(vx, vy, vz, masks, **kw)
+    vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 
     # Density transport. The reference's diffuse(0, dens, buffer) result is
     # fully overwritten by this advection (see module docstring) — skipped.

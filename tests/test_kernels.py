@@ -48,3 +48,26 @@ def test_pallas_solve_noslip_mode():
 def test_supported_gate():
     # CPU backend in the suite -> never claims support
     assert not pallas_solve_supported((10, 10, 18))
+
+
+def test_fused_projection_matches_composable():
+    # kernels/project_pallas.py (empty scenes): bitwise vs the ops path,
+    # both wall modes (TPU run measured max diff 0.0 at the flagship size too)
+    from fluid_simulation_tpu.kernels.project_pallas import pallas_project_empty
+    from fluid_simulation_tpu.ops.project import project
+
+    masks = build_masks(jnp.asarray(empty_obstacles(W, H, D)))
+    rng = np.random.default_rng(3)
+    shape = (D + 2, H + 2, W + 2)
+    vx, vy, vz = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                  for _ in range(3))
+    for wm in ("reference", "noslip"):
+        ref = project(vx, vy, vz, masks, acc=6, solver="rbgs", wall_mode=wm,
+                      empty_scene=True)
+        got = pallas_project_empty(vx, vy, vz, acc=6, wall_mode=wm,
+                                   interpret=True)
+        for a, b in zip(got, ref[:3]):
+            # interpreter-vs-XLA-CPU FMA contraction can differ by 1 ulp;
+            # the real-TPU comparison at the flagship size is exactly 0.0
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-6)
