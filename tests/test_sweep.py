@@ -12,12 +12,17 @@ P = SimParams(width=16, height=8, depth=8, acc=5)
 
 
 def _geometries():
+    # 8 obstacle geometries in one vmapped batch (BASELINE config 4)
     base = empty_obstacles(16, 8, 8)
     return [
         base,
         add_sphere(base, 8, 4, 4, 2.0),
         add_box(base, 6, 9, 3, 5, 3, 5),
         add_sphere(base, 6, 4, 4, 1.5),
+        add_sphere(base, 10, 5, 4, 1.8),
+        add_box(base, 4, 6, 2, 6, 2, 6),
+        add_sphere(base, 8, 3, 5, 1.2),
+        add_box(base, 9, 12, 4, 6, 3, 5),
     ]
 
 
