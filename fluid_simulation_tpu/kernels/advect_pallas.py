@@ -51,68 +51,107 @@ def _lerp_kernel_single(arr_ref, xb_ref, out_ref):
     out_ref[...] = a * (1.0 - s) + b * s
 
 
-def _lerp_kernel_two_window(arr_ref, xb_ref, out_ref):
-    """128 < C <= 256: gather through two overlapping 128-lane windows.
+def _window_offsets(C: int):
+    """Offsets of overlapping 128-lane source windows covering ``i0`` in
+    ``[0, C-2]`` with ``i0+1`` inside the window: window j at offset ``off``
+    serves ``off <= i0 <= off+126``. Stride 127; the last window is clamped
+    to end at lane C-1."""
+    offs, off = [], 0
+    while True:
+        off = min(off, C - 128)
+        offs.append(off)
+        if off + 126 >= C - 2:
+            return offs
+        off += 127
 
-    Window 0 covers source lanes [0, 127] (handles i0 <= 126 so i0+1 fits);
-    window 1 covers [C-128, C-1] (handles the rest). ``out`` is narrower than
-    ``arr`` (interior lanes only)."""
-    C = arr_ref.shape[1]
-    off = C - 128
-    xb = xb_ref[...]
-    i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
-    s = xb - i0.astype(xb.dtype)
-    w0 = arr_ref[:, 0:128]
-    w1 = arr_ref[:, off:C]
-    use0 = i0 <= 126
-    li0 = jnp.clip(i0, 0, 126)
-    li1 = jnp.clip(i0 - off, 0, 126)
-    a = jnp.where(use0,
-                  jnp.take_along_axis(w0, li0, axis=1),
-                  jnp.take_along_axis(w1, li1, axis=1))
-    b = jnp.where(use0,
-                  jnp.take_along_axis(w0, li0 + 1, axis=1),
-                  jnp.take_along_axis(w1, li1 + 1, axis=1))
-    out_ref[...] = a * (1.0 - s) + b * s
+
+def _make_lerp_kernel_nwindow(C: int):
+    """C > 128: gather through ceil((C-1)/127) overlapping 128-lane windows,
+    selecting per lane by which window holds ``i0`` (and ``i0+1``). The
+    output block is <= 128 lanes wide (callers chunk wider outputs over the
+    grid). Cost grows linearly in the window count — 2 windows at the
+    flagship W2=130, 3 at 256^3's 258."""
+    offs = _window_offsets(C)
+
+    def kernel(arr_ref, xb_ref, out_ref):
+        xb = xb_ref[...]
+        i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
+        s = xb - i0.astype(xb.dtype)
+        a = jnp.zeros(xb.shape, arr_ref.dtype)
+        b = jnp.zeros(xb.shape, arr_ref.dtype)
+        for j, off in enumerate(offs):
+            w = arr_ref[:, off:off + 128]
+            # window j serves i0 in [off, off+126]; earlier windows win ties
+            use = i0 <= off + 126 if j == 0 else (
+                (i0 >= off) & (i0 <= off + 126) if j < len(offs) - 1
+                else i0 >= off)
+            li = jnp.clip(i0 - off, 0, 126)
+            a = jnp.where(use, jnp.take_along_axis(w, li, axis=1), a)
+            b = jnp.where(use, jnp.take_along_axis(w, li + 1, axis=1), b)
+        out_ref[...] = a * (1.0 - s) + b * s
+
+    return kernel
+
+
+# widest gather axis the n-window kernel accepts: window count (= VPU gather
+# passes) grows linearly with C; past this the XLA take fallback is no worse
+LANE_LERP_MAX_C = 1664  # 13 windows
 
 
 def lane_lerp(arr2d: jnp.ndarray, xb2d: jnp.ndarray,
               interpret: bool = False) -> jnp.ndarray:
     """1-D linear-interpolation gather along the last axis.
 
-    ``xb2d``'s width is the output width; it must be <= 128 when the source
-    is wider than 128 (two-window path). Indices must satisfy
+    ``xb2d``'s width is the output width (any width; outputs wider than 128
+    are chunked over the grid for the n-window path). Indices must satisfy
     ``0 <= floor(xb) <= C-2`` (callers clamp like simulation.cpp:388-390).
     """
     R, C = arr2d.shape
     Ro, Co = xb2d.shape
     if R != Ro:
         raise ValueError(f"row mismatch {arr2d.shape} vs {xb2d.shape}")
-    if C <= 128:
-        if Co != C:
-            raise ValueError("single-window path needs idx width == C")
-        kernel = _lerp_kernel_single
-    elif C <= 256:
-        if Co > 128:
-            raise ValueError("two-window path needs output width <= 128")
-        kernel = _lerp_kernel_two_window
-    else:
+    if C > LANE_LERP_MAX_C:
         raise ValueError(f"gather axis too wide for the lane kernel: {C}")
     # block over rows: bounds VMEM independent of the row count (the default
     # scoped-vmem budget is ~43 MB; a whole stacked flagship pass needs 63 MB)
-    R_BLK = min(R, 4096)
-    grid = (pl.cdiv(R, R_BLK),)
+    if C <= 128:
+        if Co != C:
+            raise ValueError("single-window path needs idx width == C")
+        R_BLK = min(R, 4096)
+        grid = (pl.cdiv(R, R_BLK),)
+        return pl.pallas_call(
+            _lerp_kernel_single,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((R, Co), arr2d.dtype),
+            in_specs=[
+                pl.BlockSpec((R_BLK, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(arr2d, xb2d)
+    # n-window path: each kernel instance sees the full source rows plus one
+    # <=128-lane chunk of the output/index block
+    kernel = _make_lerp_kernel_nwindow(C)
+    C_BLK = min(Co, 128)
+    # sublane dim of a partial block must be a multiple of 8
+    R_BLK = max(512, (4096 * 128) // (-(-C // 128) * 128)) // 8 * 8
+    R_BLK = min(R, R_BLK)
+    grid = (pl.cdiv(R, R_BLK), pl.cdiv(Co, C_BLK))
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((R, Co), arr2d.dtype),
         in_specs=[
-            pl.BlockSpec((R_BLK, C), lambda i: (i, 0),
+            pl.BlockSpec((R_BLK, C), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+            pl.BlockSpec((R_BLK, C_BLK), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R_BLK, Co), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((R_BLK, C_BLK), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(arr2d, xb2d)
@@ -122,8 +161,8 @@ def lane_lerp_supported(padded_shape) -> bool:
     D2, H2, W2 = padded_shape[-3:]
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    # x pass: out width W <= 128 and source W2 <= 256; y/z: axis <= 128
-    return (W2 - 2) <= 128 and W2 <= 256 and H2 <= 128 and D2 <= 128
+    # every pass's gather axis must fit the n-window kernel
+    return max(W2, H2, D2) <= LANE_LERP_MAX_C
 
 
 def _coords(n: int, dtype):
@@ -161,7 +200,7 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     # ---- x pass: rows = (z, y) incl. ghost rows; out width W
     xi = _coords(W, dtype).reshape(1, 1, W)
     xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
-                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+                  * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
     if W2 <= 128:
         # single-window kernel wants idx width == W2: edge-pad, slice after
         xb_full = jnp.concatenate(
@@ -177,7 +216,7 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     # ---- y pass: transpose y to lanes; rows = (z incl. ghosts, x interior)
     yi = _coords(H, dtype).reshape(1, H, 1)
     yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)  # (D2, H, W)
+                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))  # (D2, H, W)
     At = jnp.swapaxes(A, 2, 3)                       # (B, D2, W, H2)
     ybt = jnp.swapaxes(yb, 1, 2)                     # (D2, W, H)
     # the single-window kernel wants idx width == H2; the two extra output
@@ -191,7 +230,7 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     # ---- z pass: transpose z to lanes; rows = (y, x)
     zi = _coords(D, dtype).reshape(D, 1, 1)
     zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
     Bt = jnp.transpose(B, (0, 2, 3, 1))              # (B, H, W, D2)
     zbt = jnp.transpose(zb, (1, 2, 0))               # (H, W, D)
     zbt_full = jnp.concatenate(
@@ -224,17 +263,17 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
 
     xi = _coords(W, dtype).reshape(1, 1, W)
     xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
-                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+                  * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
     A = lerp(prev, xb, axis=3)
 
     yi = _coords(H, dtype).reshape(1, H, 1)
     yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)
+                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))
     B = lerp(A, yb, axis=2)
 
     zi = _coords(D, dtype).reshape(D, 1, 1)
     zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
     out = lerp(B, zb, axis=1)
     return out[0] if squeeze else out
 

@@ -238,9 +238,17 @@ class WindTunnel:
         # transferred host->device cheaply on call.
         self.obstacles = np.asarray(obstacles, np.float32)
         # empty scenes statically skip obstacle-mask arithmetic (exact
-        # identity); always derived from the actual obstacle field here
-        self.params = params = params.replace(
-            empty_scene=not bool((self.obstacles >= 0.5).any()))
+        # identity); always derived from the actual obstacle field here.
+        # An explicit empty_scene=True together with solids is a user error
+        # that would silently produce wrong physics if it reached
+        # simulation_step directly — reject it (config.py:79-84 contract).
+        has_solids = bool((self.obstacles >= 0.5).any())
+        if params.empty_scene and has_solids:
+            raise ValueError(
+                "SimParams(empty_scene=True) with a non-empty obstacle "
+                "field: empty_scene statically skips all obstacle masking "
+                "and must only be set for scenes without solids")
+        self.params = params = params.replace(empty_scene=not has_solids)
         self.masks = build_masks(self.obstacles, dtype=_dtype(params))
         self.state = init_state(params)
 

@@ -75,9 +75,12 @@ def backtrace(vx_i, vy_i, vz_i, dt: float, W: int, H: int, D: int, dtype):
     xb = xi - jnp.asarray(dt * np.float32(W), dtype) * vx_i
     yb = yi - jnp.asarray(dt * np.float32(H), dtype) * vy_i
     zb = zi - jnp.asarray(dt * np.float32(D), dtype) * vz_i
-    xb = jnp.clip(xb, 0.5, np.float32(W) + np.float32(0.5))
-    yb = jnp.clip(yb, 0.5, np.float32(H) + np.float32(0.5))
-    zb = jnp.clip(zb, 0.5, np.float32(D) + np.float32(0.5))
+    # clip bounds cast to the field dtype: np.float32 scalars would promote
+    # a bfloat16 backtrace to f32 (and trip the scatter dtype check later)
+    lo = jnp.asarray(0.5, dtype)
+    xb = jnp.clip(xb, lo, jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
+    yb = jnp.clip(yb, lo, jnp.asarray(np.float32(H) + np.float32(0.5), dtype))
+    zb = jnp.clip(zb, lo, jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
     return xb, yb, zb
 
 

@@ -65,12 +65,19 @@ def linear_solver(
     if use_pallas and solver == "rbgs":
         from fluid_simulation_tpu.kernels.linsolve_pallas import (
             pallas_rbgs_solve, pallas_solve_supported)
+        keep = None if empty_scene else (
+            masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
         if pallas_solve_supported(f.shape, f.dtype):
-            keep = None if empty_scene else (
-                masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
                                      acc=acc, wall_mode=wall_mode,
                                      empty_scene=empty_scene)
+        from fluid_simulation_tpu.kernels.linsolve_blocked import (
+            pallas_blocked_solve_supported, pallas_rbgs_solve_blocked)
+        if pallas_blocked_solve_supported(f.shape, f.dtype):
+            # grid too large for the VMEM-resident kernel: stream z-slabs
+            return pallas_rbgs_solve_blocked(
+                b, f, prev, keep, float(a), float(c), acc=acc,
+                wall_mode=wall_mode, empty_scene=empty_scene)
     dtype = f.dtype
     a = jnp.asarray(a, dtype)
     c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)

@@ -203,7 +203,9 @@ def _advect(b, prev, vx, vy, vz, lm, keep, params, n, i):
             + (i * Dl).astype(prev.dtype))
     dtD = np.float32(p.dt) * np.float32(p.depth)
     zb = jnp.clip(zi_g - jnp.asarray(dtD, prev.dtype) * vz_i,
-                  0.5, np.float32(p.depth) + np.float32(0.5))
+                  jnp.asarray(0.5, prev.dtype),
+                  jnp.asarray(np.float32(p.depth) + np.float32(0.5),
+                              prev.dtype))
     sampled = trilinear_gather(prev_g, xb, yb, zb) * lm.fluid_i
     out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
     return _set_bounds_ex(b, out, keep, params.wall_mode, n, i)
@@ -234,19 +236,19 @@ def _advect_split_local(prev, vx, vy, vz, lm, keep, params, n, i):
 
     xi = jnp.arange(1, W + 1, dtype=dtype).reshape(1, 1, W)
     xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
-                  * vx[:, :, 1:-1], 0.5, np.float32(W) + 0.5)
+                  * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
     A = lerp(prev, xb, axis=2)                      # (Dl+2, H2, W)
 
     yi = jnp.arange(1, H + 1, dtype=dtype).reshape(1, H, 1)
     yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], 0.5, np.float32(H) + 0.5)
+                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))
     B = lerp(A, yb, axis=1)                         # (Dl+2, H, W)
 
     Bg = _gather_global(B, n)                       # (D+2, H, W)
     zi_g = (jnp.arange(1, Dl + 1, dtype=dtype).reshape(Dl, 1, 1)
             + (i * Dl).astype(dtype))
     zb = jnp.clip(zi_g - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], 0.5, np.float32(D) + 0.5)
+                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
     sampled = lerp(Bg, zb, axis=0) * lm.fluid_i     # (Dl, H, W)
     out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
     return out

@@ -71,3 +71,40 @@ def test_fused_projection_matches_composable():
             # the real-TPU comparison at the flagship size is exactly 0.0
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0, atol=1e-6)
+
+
+def test_blocked_solve_matches_oracle():
+    """z-blocked streaming solver (kernels/linsolve_blocked.py) == rbgs
+    oracle, including a z-block size that does not divide D+2 and both a
+    solids scene and the empty fast path."""
+    from fluid_simulation_tpu.kernels import linsolve_blocked as lb
+
+    f, g, masks = _setup()
+    for b in (0, 2):
+        ref = linear_solver(b, f, g, 1.0, 6.0, masks, acc=5, solver="rbgs")
+        keep = masks.keep_vel if b else masks.keep_scalar
+        got = lb.pallas_rbgs_solve_blocked(b, f, g, keep, 1.0, 6.0, acc=5,
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_blocked_solve_block_sizes():
+    """Every halo interaction: block sizes from 1 row to whole-grid, empty
+    scene, noslip, z-ghost straddling block edges."""
+    from fluid_simulation_tpu.kernels import linsolve_blocked as lb
+    from fluid_simulation_tpu.scene.primitives import empty_obstacles
+
+    masks = build_masks(jnp.asarray(empty_obstacles(W, H, D)))
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.normal(size=(D + 2, H + 2, W + 2)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(D + 2, H + 2, W + 2)).astype(np.float32))
+    ref = linear_solver(3, f, g, 0.8, 5.8, masks, acc=4, solver="rbgs",
+                        wall_mode="noslip", empty_scene=True)
+    # blk >= 2 (halo spans one neighbor); 3 exercises the (D+1)%blk==0
+    # auto-adjustment, D+2 the single-block degenerate case
+    for blk in (2, 3, 4, 5, 7, D + 2):
+        got = lb.pallas_rbgs_solve_blocked(3, f, g, None, 0.8, 5.8, acc=4,
+                                           wall_mode="noslip", interpret=True,
+                                           empty_scene=True, blk=blk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"blk={blk}")

@@ -105,3 +105,16 @@ def test_cell_edit_api():
     import pytest
     with pytest.raises(ValueError):
         wt.add_obstacle(0, 1, 1)
+
+
+def test_empty_scene_with_solids_rejected():
+    """empty_scene=True statically skips obstacle masking; combining it with
+    solids is a silent-wrong-physics hazard and must raise (VERDICT r1
+    weak#8, config.py contract)."""
+    import pytest
+    obs = add_sphere(empty_obstacles(16, 8, 8), 8, 4, 4, 2.0)
+    with pytest.raises(ValueError, match="empty_scene"):
+        WindTunnel(PARAMS.replace(empty_scene=True), obstacles=obs)
+    # the safe direction still auto-derives: no solids -> upgraded to True
+    wt = WindTunnel(PARAMS)
+    assert wt.params.empty_scene

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Large-grid step timing on the real TPU (VERDICT r1 missing#1).
+
+Round-1 status: 256^3 ran only via XLA fallbacks at 8.8 s/step. Round 2 adds
+the z-blocked streaming solver (kernels/linsolve_blocked.py) and the n-window
+lane gather (kernels/advect_pallas.py); this measures the result. Slope
+timing over two scan lengths cancels the per-dispatch tunnel overhead.
+
+Usage: python tools/bench_big.py [W H D [n]]    (default 256 256 256)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CU = 0.43e6  # BASELINE.md cell-updates/s (reference, measured)
+
+
+def main():
+    import jax
+    from fluid_simulation_tpu.config import SimParams
+    from fluid_simulation_tpu.models.windtunnel import WindTunnel, simulation_step
+
+    args = [int(a) for a in sys.argv[1:]]
+    W, H, D = args[:3] if len(args) >= 3 else (256, 256, 256)
+    n = args[3] if len(args) > 3 else 5
+
+    np.asarray(jax.jit(lambda: jax.numpy.zeros((8, 128)))())
+    params = SimParams(width=W, height=H, depth=D, div_stats=False,
+                       mode="split", empty_scene=True)
+    wt = WindTunnel(params)
+    masks = wt.masks
+
+    # masks go in as jit ARGUMENTS: closure-captured device arrays embed as
+    # full-size constants and blow the remote-compile body limit at 256^3
+    def run_n(length):
+        @jax.jit
+        def run(state, m):
+            def body(c, _):
+                c, _s = simulation_step(c, m, params)
+                return c, None
+            return jax.lax.scan(body, state, None, length=length)[0]
+        return run
+
+    r1, r3 = run_n(n), run_n(3 * n)
+    t0 = time.perf_counter()
+    s = r1(wt.state, masks)
+    jax.block_until_ready(s)
+    print(f"# compile+first {n} steps: {time.perf_counter() - t0:.1f} s",
+          file=sys.stderr, flush=True)
+    jax.block_until_ready(r3(s, masks))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(r1(s, masks))
+        t1 = time.perf_counter()
+        jax.block_until_ready(r3(s, masks))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n))
+    cu = params.n_cells / best
+    dens = float(np.asarray(jax.jit(
+        lambda st: jax.numpy.sum(st.dens, dtype=jax.numpy.float32))(s)))
+    assert np.isfinite(dens) and dens > 0, dens
+    print(f"{W}x{H}x{D} split: {best * 1e3:.1f} ms/step, "
+          f"{cu:.3g} cell-updates/s ({cu / BASELINE_CU:.1f}x baseline), "
+          f"density_sum={dens:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
