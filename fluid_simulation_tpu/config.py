@@ -76,6 +76,13 @@ class SimParams:
     # are always collected.
     div_stats: bool = True
 
+    # Sharded runs only: advection z-reads exchange this many neighbor slabs
+    # per side instead of all-gathering the full field, with an automatic
+    # runtime fallback to all-gather whenever a backtrace reaches further
+    # (exact either way; parallel/sharded.py::_z_lerp_dispatch). 0 = always
+    # all-gather.
+    advect_halo_slabs: int = 1
+
     # Set automatically by WindTunnel when the obstacle field is empty: every
     # obstacle-mask multiply is then an exact multiply-by-1.0 identity, so
     # the full-array passes are skipped statically (numerically identical —

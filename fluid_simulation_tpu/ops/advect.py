@@ -16,14 +16,17 @@ Mirrors ``Simulation::advect`` (simulation.cpp:367-424):
 - solid cells are forced to zero (simulation.cpp:375-378);
 - ``setBounds(b, field)`` afterwards (simulation.cpp:423).
 
-The scattered 8-corner gather is expressed as ``jnp.take`` on the flattened
-padded array — XLA lowers this to a single fused gather per corner. A Pallas
-variant lives in ``kernels/`` for the hot path.
+The scattered 8-corner gather is ONE ``lax.gather`` of 8-wide rows from a
+corner table: ``tbl[i] = flat[i + d]`` for the 8 corner offsets ``d`` (built
+with 8 cheap shifted copies). XLA's TPU gather cost is per-*index*, not
+per-element — measured 2.1 ms vs 35.3 ms for the 8-``jnp.take``
+formulation at 128x64x64, bit-identical output (tools/exp_gather.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
+from jax import lax
 import jax.numpy as jnp
 
 from fluid_simulation_tpu.ops.bounds import set_bounds
@@ -33,7 +36,10 @@ from fluid_simulation_tpu.scene.masks import SceneMasks
 def trilinear_gather(prev: jnp.ndarray, xb, yb, zb) -> jnp.ndarray:
     """Trilinear sample of the padded field ``prev`` at backtraced coordinates
     (arrays shaped like the interior). Coordinates are in the reference's cell
-    units where integer ``i`` is the center of interior cell ``i``."""
+    units where integer ``i`` is the center of interior cell ``i``; callers
+    clamp them like simulation.cpp:388-390 (corner indices are then always
+    in bounds: the largest corner is cell (D+1, H+1, W+1) = the last padded
+    element)."""
     D2, H2, W2 = prev.shape
     i0 = jnp.floor(xb).astype(jnp.int32)
     j0 = jnp.floor(yb).astype(jnp.int32)
@@ -43,17 +49,21 @@ def trilinear_gather(prev: jnp.ndarray, xb, yb, zb) -> jnp.ndarray:
     sz = zb - k0.astype(zb.dtype)
 
     flat = prev.reshape(-1)
-    stride_y = W2
-    stride_z = W2 * H2
-
-    def at(di, dj, dk):
-        idx = (k0 + dk) * stride_z + (j0 + dj) * stride_y + (i0 + di)
-        return jnp.take(flat, idx.reshape(-1), mode="clip").reshape(idx.shape)
-
-    c000 = at(0, 0, 0); c100 = at(1, 0, 0)
-    c010 = at(0, 1, 0); c110 = at(1, 1, 0)
-    c001 = at(0, 0, 1); c101 = at(1, 0, 1)
-    c011 = at(0, 1, 1); c111 = at(1, 1, 1)
+    sy_, sz_ = W2, W2 * H2
+    offsets = (0, 1, sy_, sy_ + 1, sz_, sz_ + 1, sz_ + sy_, sz_ + sy_ + 1)
+    # (N, 8) corner table: row i holds the 8 cube corners based at flat[i].
+    # jnp.roll wraps, but rows are only read at bases whose corners are all
+    # in range (see docstring), where the shifted values are exact.
+    tbl = jnp.stack([jnp.roll(flat, -d) for d in offsets], axis=1)
+    base = k0 * sz_ + j0 * sy_ + i0
+    base = jnp.clip(base, 0, flat.shape[0] - 1)    # safety for raw callers
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    g = lax.gather(tbl, base.reshape(-1, 1), dnums, slice_sizes=(1, 8),
+                   mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS
+                   ).reshape(*base.shape, 8)
+    c000, c100, c010, c110 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+    c001, c101, c011, c111 = g[..., 4], g[..., 5], g[..., 6], g[..., 7]
 
     one = jnp.asarray(1.0, prev.dtype)
     c00 = c000 * (one - sx) + c100 * sx
