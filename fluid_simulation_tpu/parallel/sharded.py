@@ -147,8 +147,83 @@ def _update(f, prev_i, a, c_recip):
     return (prev_i + a * s) * c_recip
 
 
+def _black_phase_planes(f, prev, a_c, crec, n, i):
+    """The halo planes the black half-sweep must read at local rows 0/Dl+1:
+    the *red-updated* neighbor rows inside the domain (recomputed locally
+    from the same f32 inputs in the same operand order the neighbor uses —
+    bit-identical, no mid-sweep exchange), or the pre-sweep global ghost
+    planes on edge ranks (the single-chip black half reads stale ghosts,
+    kernels/linsolve_pallas.py semantics)."""
+    from_prev2, from_next2 = _ppermute_updown(f[-3], f[2], n)
+    H2, W2 = f.shape[1], f.shape[2]
+    yy = jnp.arange(1, H2 - 1).reshape(-1, 1)
+    xx = jnp.arange(1, W2 - 1).reshape(1, -1)
+    # local row 0 <-> global padded row i*Dl (even: Dl is even), row Dl+1 <->
+    # (i+1)*Dl + 1 (odd); red = 1-based coord sum even (masks.red_i)
+    red_lo = ((yy + xx) % 2) == 0
+    red_hi = ((1 + yy + xx) % 2) == 0
+
+    def plane_upd(plane, prev_plane, zp_i, zm_i):
+        p = plane
+        s = (
+            (((p[1:-1, 2:] + p[1:-1, :-2]) + p[2:, 1:-1]) + p[:-2, 1:-1])
+            + zp_i
+        ) + zm_i
+        return (prev_plane[1:-1, 1:-1] + a_c * s) * crec
+
+    upd_lo = plane_upd(f[0], prev[0], f[1, 1:-1, 1:-1],
+                       from_prev2[1:-1, 1:-1])
+    upd_hi = plane_upd(f[-1], prev[-1], from_next2[1:-1, 1:-1],
+                       f[-2, 1:-1, 1:-1])
+    bp_lo = f[0].at[1:-1, 1:-1].set(
+        jnp.where(red_lo, upd_lo, f[0, 1:-1, 1:-1]))
+    bp_hi = f[-1].at[1:-1, 1:-1].set(
+        jnp.where(red_hi, upd_hi, f[-1, 1:-1, 1:-1]))
+    bp_lo = jnp.where(i == 0, f[0], bp_lo)
+    bp_hi = jnp.where(i == n - 1, f[-1], bp_hi)
+    return bp_lo, bp_hi
+
+
+def _solve_pallas(b, f, prev, a, c, keep, acc, wall_mode, n, i):
+    """Sharded rbgs solve with the per-sweep fused Pallas kernel
+    (kernels/linsolve_sweep.py) doing red+black+faces+keep on the local slab;
+    jnp computes the one-plane black-phase halos and the two ppermute
+    exchanges per sweep (same 4 ICI planes/sweep as the jnp path).
+    Bit-identical to the jnp sharded path."""
+    from fluid_simulation_tpu.kernels import linsolve_sweep as ls
+
+    dtype = f.dtype
+    a_c = jnp.asarray(np.float32(a), dtype)
+    crec = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
+    interpret = ls.FORCE_INTERPRET
+
+    def sweep(fc, _):
+        if n == 1:
+            bp_lo, bp_hi = fc[0], fc[-1]
+        else:
+            bp_lo, bp_hi = _black_phase_planes(fc, prev, a_c, crec, n, i)
+        fc = ls.pallas_rbgs_sweep(b, fc, prev, keep, bp_lo, bp_hi,
+                                  float(a), float(c), wall_mode=wall_mode,
+                                  interpret=interpret)
+        if n > 1:
+            from_prev, from_next = _ppermute_updown(fc[-2], fc[1], n)
+            lo = jnp.where(i == 0, fc[0], from_prev)
+            hi = jnp.where(i == n - 1, fc[-1], from_next)
+            fc = fc.at[0].set(lo).at[-1].set(hi)
+        return fc, None
+
+    f, _ = lax.scan(sweep, f, None, length=acc)
+    return f
+
+
 def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
-           n, i):
+           n, i, use_pallas=False):
+    if use_pallas and solver == "rbgs":
+        from fluid_simulation_tpu.kernels.linsolve_sweep import (
+            pallas_sweep_supported)
+        if pallas_sweep_supported(f.shape, f.dtype):
+            return _solve_pallas(b, f, prev, a, c, keep, acc, wall_mode,
+                                 n, i)
     dtype = f.dtype
     a = jnp.asarray(a, dtype)
     c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
@@ -450,7 +525,7 @@ def _project(vx, vy, vz, lm, params, n, i):
     div = _set_bounds_ex(0, div, lm.keep_scalar, p.wall_mode, n, i)
     pr = jnp.zeros_like(vx)   # set_bounds(0, zeros) is zeros (simulation.cpp:319)
     pr = _solve(0, pr, div, 1.0, 6.0, lm, lm.keep_scalar, p.acc, p.solver,
-                p.wall_mode, n, i)
+                p.wall_mode, n, i, use_pallas=p.use_pallas)
     xp, xm, yp, ym, zp, zm = lm.nb
     gx = _gradient(pr, xp, xm, lambda q: q[1:-1, 1:-1, 2:],
                    lambda q: q[1:-1, 1:-1, :-2], h, dtype)
@@ -497,11 +572,11 @@ def _local_step(state: FluidState, solid, params: SimParams
     vel_diff = p.visc if p.use_visc_for_velocity else p.diff
     a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt, vel_diff)
     vx = _solve(1, vx, pvx, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i)
+                p.wall_mode, n, i, use_pallas=p.use_pallas)
     vy = _solve(2, vy, pvy, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i)
+                p.wall_mode, n, i, use_pallas=p.use_pallas)
     vz = _solve(3, vz, pvz, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i)
+                p.wall_mode, n, i, use_pallas=p.use_pallas)
 
     vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
 
@@ -585,9 +660,13 @@ def simulate_sharded(stacked_state: FluidState, stacked_solid, params, mesh,
             new, stats = _local_step(state_l, solid_l[0], params)
             return (jax.tree_util.tree_map(lambda x: x[None], new),
                     jax.tree_util.tree_map(lambda x: x[None], stats))
+        # check_vma=False: pallas_call outputs carry no varying-across-mesh
+        # annotation, which the vma checker (newer JAX) rejects inside
+        # shard_map; the collective structure is asserted by the parity
+        # tests instead.
         return jax.shard_map(
             body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS)))(st, solid)
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False)(st, solid)
 
     def scan_body(st, _):
         st, stats = step_stacked(st, stacked_solid)

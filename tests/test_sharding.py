@@ -149,6 +149,47 @@ def test_bounded_halo_advect_matches_all_gather(halo_slabs):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+def test_sharded_pallas_solve_matches_jnp(n_dev):
+    """VERDICT r1 next#4: the per-sweep fused Pallas kernel inside the
+    sharded solve (kernels/linsolve_sweep.py, exercised on CPU via the
+    interpreter) matches both the jnp sharded path and the single-chip
+    solver."""
+    if jax.device_count() < n_dev:
+        pytest.skip("not enough virtual devices")
+    from fluid_simulation_tpu.kernels import linsolve_sweep
+
+    obs = add_sphere(empty_obstacles(16, 8, 8), cx=8, cy=4, cz=4, radius=2.5)
+    ref = WindTunnel(PARAMS, obstacles=obs)
+    ref.simulate(steps=3)
+
+    sw_jnp = ShardedWindTunnel(PARAMS.replace(use_pallas=False),
+                               obstacles=obs, n_devices=n_dev)
+    sw_jnp.simulate(steps=3)
+    got_jnp = sw_jnp.global_state()
+
+    linsolve_sweep.FORCE_INTERPRET = True
+    try:
+        assert linsolve_sweep.pallas_sweep_supported(
+            (8 // n_dev + 2, 10, 18)) == (8 // n_dev >= 2)
+        sw_pl = ShardedWindTunnel(PARAMS, obstacles=obs, n_devices=n_dev)
+        sw_pl.simulate(steps=3)
+        got_pl = sw_pl.global_state()
+    finally:
+        linsolve_sweep.FORCE_INTERPRET = False
+
+    for name, a, b, c in zip(("vx", "vy", "vz", "dens"), ref.state,
+                             got_jnp, got_pl):
+        a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+        scale = np.abs(a).max() + 1e-12
+        # pallas vs jnp sharded: same expressions, same exchange schedule
+        np.testing.assert_allclose(c, b, rtol=0, atol=2e-6 * scale,
+                                   err_msg=f"{name} pallas-vs-jnp")
+        # and both track the single-chip run
+        np.testing.assert_allclose(c, a, rtol=0, atol=5e-5 * scale,
+                                   err_msg=f"{name} pallas-vs-single")
+
+
 def test_collective_bytes_accounting():
     sw = ShardedWindTunnel(PARAMS, n_devices=4)
     acct = sw.collective_bytes_per_step()
