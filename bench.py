@@ -77,20 +77,39 @@ def main():
             best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n))
         dens_sum = float(jnp.sum(state.dens, dtype=jnp.float32))
         assert np.isfinite(dens_sum) and dens_sum > 0, dens_sum
-        return best, dens_sum
+        dmax, dmean = (float(x) for x in _residual_stats(state))
+        return best, dens_sum, (dmax, dmean)
+
+    @jax.jit
+    def _residual_stats(state):
+        """Post-projection divergence residual in grid units (BASELINE.md
+        row: reference final frame measured max 9.29 / mean 0.258) —
+        central differences, empty scene, computed on device under jit."""
+        vx, vy, vz = state.vx, state.vy, state.vz
+        div = 0.5 * (
+            vx[1:-1, 1:-1, 2:] - vx[1:-1, 1:-1, :-2]
+            + vy[1:-1, 2:, 1:-1] - vy[1:-1, :-2, 1:-1]
+            + vz[2:, 1:-1, 1:-1] - vz[:-2, 1:-1, 1:-1])
+        a = jnp.abs(div)
+        return jnp.max(a), jnp.mean(a, dtype=jnp.float32)
 
     # 128x64x64 reference defaults; like the reference, no residual pass
+    # inside the timed loop (stats computed once on the final state)
     base = SimParams(div_stats=False)
-    t_split, dens_split = measure(base.replace(mode="split"), reps=3, n=100)
-    t_compat, dens_compat = measure(base, reps=2, n=10)
+    t_split, dens_split, res_split = measure(base.replace(mode="split"),
+                                             reps=3, n=100)
+    t_compat, dens_compat, res_compat = measure(base, reps=2, n=10)
 
-    for name, t, ds in (("split", t_split, dens_split),
-                        ("compat", t_compat, dens_compat)):
+    for name, t, ds, (dmax, dmean) in (
+            ("split", t_split, dens_split, res_split),
+            ("compat", t_compat, dens_compat, res_compat)):
         cu = base.n_cells / t
         print(f"# {name}: {t * 1e3:.2f} ms/step, {1.0 / t:.1f} steps/s, "
               f"{cu:.4g} cell-updates/s "
               f"({cu / BASELINE_CELL_UPDATES_PER_SEC:.1f}x baseline), "
-              f"density_sum={ds:.1f}", file=sys.stderr)
+              f"density_sum={ds:.1f}, "
+              f"div_residual max={dmax:.2f} mean={dmean:.4f} "
+              f"(reference final-frame: 9.29/0.258)", file=sys.stderr)
 
     cell_updates = base.n_cells / t_split
     result = {

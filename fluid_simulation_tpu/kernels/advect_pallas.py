@@ -37,6 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gather_dtype(dtype):
+    """Mosaic dynamic_gather needs index/result bitwidths to match; sub-32-bit
+    data (bf16) is gathered through an f32 upcast (cheap VPU casts)."""
+    return jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+
+
 def _lerp_kernel_single(arr_ref, xb_ref, out_ref):
     """C <= 128: out[r, c] = lerp(arr[r, i0], arr[r, i0+1], frac)."""
     C = arr_ref.shape[1]
@@ -44,11 +50,12 @@ def _lerp_kernel_single(arr_ref, xb_ref, out_ref):
     # clamp guards the padded rows of a partial final grid block, whose index
     # lanes are undefined
     i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
-    s = xb - i0.astype(xb.dtype)
-    arr = arr_ref[...]
+    gd = _gather_dtype(arr_ref.dtype)
+    s = (xb - i0.astype(xb.dtype)).astype(gd)
+    arr = arr_ref[...].astype(gd)
     a = jnp.take_along_axis(arr, i0, axis=1)
     b = jnp.take_along_axis(arr, i0 + 1, axis=1)
-    out_ref[...] = a * (1.0 - s) + b * s
+    out_ref[...] = (a * (1.0 - s) + b * s).astype(out_ref.dtype)
 
 
 def _window_offsets(C: int):
@@ -76,11 +83,12 @@ def _make_lerp_kernel_nwindow(C: int):
     def kernel(arr_ref, xb_ref, out_ref):
         xb = xb_ref[...]
         i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
-        s = xb - i0.astype(xb.dtype)
-        a = jnp.zeros(xb.shape, arr_ref.dtype)
-        b = jnp.zeros(xb.shape, arr_ref.dtype)
+        gd = _gather_dtype(arr_ref.dtype)
+        s = (xb - i0.astype(xb.dtype)).astype(gd)
+        a = jnp.zeros(xb.shape, gd)
+        b = jnp.zeros(xb.shape, gd)
         for j, off in enumerate(offs):
-            w = arr_ref[:, off:off + 128]
+            w = arr_ref[:, off:off + 128].astype(gd)
             # window j serves i0 in [off, off+126]; earlier windows win ties
             use = i0 <= off + 126 if j == 0 else (
                 (i0 >= off) & (i0 <= off + 126) if j < len(offs) - 1
@@ -88,7 +96,7 @@ def _make_lerp_kernel_nwindow(C: int):
             li = jnp.clip(i0 - off, 0, 126)
             a = jnp.where(use, jnp.take_along_axis(w, li, axis=1), a)
             b = jnp.where(use, jnp.take_along_axis(w, li + 1, axis=1), b)
-        out_ref[...] = a * (1.0 - s) + b * s
+        out_ref[...] = (a * (1.0 - s) + b * s).astype(out_ref.dtype)
 
     return kernel
 
@@ -187,7 +195,6 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     if squeeze:
         prev = prev[None]
     Bn = prev.shape[0]
-    dtype = prev.dtype
     _, D2, H2, W2 = prev.shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     dt = np.float32(dt_)
@@ -197,10 +204,18 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
         return jnp.broadcast_to(idx2d, (Bn,) + idx2d.shape).reshape(
             Bn * idx2d.shape[0], idx2d.shape[1])
 
+    # coordinate math always in f32: identical for f32 fields, and for bf16
+    # fields it keeps backtrace positions at full precision (bf16 coords are
+    # ~1-cell coarse at 256-wide axes) and keeps the kernels' ALU in f32/i32
+    # (v5e LLO rejects some bf16 vector ALU, and Mosaic dynamic_gather needs
+    # 32-bit data to pair with i32 indices)
+    ct = jnp.float32
+
     # ---- x pass: rows = (z, y) incl. ghost rows; out width W
-    xi = _coords(W, dtype).reshape(1, 1, W)
-    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
-                  * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
+    xi = _coords(W, ct).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), ct)
+                  * vx[:, :, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(W) + np.float32(0.5), ct))
     if W2 <= 128:
         # single-window kernel wants idx width == W2: edge-pad, slice after
         xb_full = jnp.concatenate(
@@ -214,9 +229,10 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     A = a.reshape(Bn, D2, H2, W)
 
     # ---- y pass: transpose y to lanes; rows = (z incl. ghosts, x interior)
-    yi = _coords(H, dtype).reshape(1, H, 1)
-    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))  # (D2, H, W)
+    yi = _coords(H, ct).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), ct)
+                  * vy[:, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(H) + np.float32(0.5), ct))  # (D2, H, W)
     At = jnp.swapaxes(A, 2, 3)                       # (B, D2, W, H2)
     ybt = jnp.swapaxes(yb, 1, 2)                     # (D2, W, H)
     # the single-window kernel wants idx width == H2; the two extra output
@@ -228,9 +244,10 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     B = jnp.swapaxes(b.reshape(Bn, D2, W, H2), 2, 3)[:, :, 1:-1, :]
 
     # ---- z pass: transpose z to lanes; rows = (y, x)
-    zi = _coords(D, dtype).reshape(D, 1, 1)
-    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
+    zi = _coords(D, ct).reshape(D, 1, 1)
+    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), ct)
+                  * vz[1:-1, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(D) + np.float32(0.5), ct))
     Bt = jnp.transpose(B, (0, 2, 3, 1))              # (B, H, W, D2)
     zbt = jnp.transpose(zb, (1, 2, 0))               # (H, W, D)
     zbt_full = jnp.concatenate(
@@ -252,28 +269,32 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
     _, D2, H2, W2 = prev.shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     dt = np.float32(dt_)
+    ct = jnp.float32   # f32 coordinate math, like advect_split
 
     def lerp(arr, coords, axis):
         i0 = jnp.floor(coords).astype(jnp.int32)
-        s = coords - i0.astype(dtype)
+        s = coords - i0.astype(ct)
         i0b = jnp.broadcast_to(i0[None], arr.shape[:1] + i0.shape)
         a = jnp.take_along_axis(arr, i0b, axis=axis)
         b = jnp.take_along_axis(arr, i0b + 1, axis=axis)
-        return a * (1.0 - s) + b * s
+        return (a * (1.0 - s) + b * s).astype(dtype)
 
-    xi = _coords(W, dtype).reshape(1, 1, W)
-    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
-                  * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
+    xi = _coords(W, ct).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), ct)
+                  * vx[:, :, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(W) + np.float32(0.5), ct))
     A = lerp(prev, xb, axis=3)
 
-    yi = _coords(H, dtype).reshape(1, H, 1)
-    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))
+    yi = _coords(H, ct).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), ct)
+                  * vy[:, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(H) + np.float32(0.5), ct))
     B = lerp(A, yb, axis=2)
 
-    zi = _coords(D, dtype).reshape(D, 1, 1)
-    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
+    zi = _coords(D, ct).reshape(D, 1, 1)
+    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), ct)
+                  * vz[1:-1, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(D) + np.float32(0.5), ct))
     out = lerp(B, zb, axis=1)
     return out[0] if squeeze else out
 

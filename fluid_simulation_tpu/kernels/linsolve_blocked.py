@@ -52,12 +52,14 @@ def _pick_block(shape, itemsize=4) -> int:
 def pallas_blocked_solve_supported(shape, dtype=jnp.float32) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if dtype != jnp.float32:
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if len(shape) != 3 or min(shape) < 4:
         return False
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
     # one z-row (plus temporaries) must fit comfortably in VMEM
-    return _tiled_bytes((3,) + tuple(shape[1:])) * 24 <= VMEM_BUDGET_BYTES
+    return (_tiled_bytes((3,) + tuple(shape[1:]), itemsize) * 24
+            <= VMEM_BUDGET_BYTES)
 
 
 def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
@@ -177,7 +179,7 @@ def pallas_rbgs_solve_blocked(b: int, field, prev, keep, a: float, c: float,
     shape = field.shape
     dtype = field.dtype
     if blk is None:
-        blk = _pick_block(shape)
+        blk = _pick_block(shape, itemsize=2 if dtype == jnp.bfloat16 else 4)
     # The z+ ghost face (gz = D+1) reads its source row gz = D from the same
     # block's post-black window; that window's own black recomputation of a
     # row BELOW the block lacks the red halo. Keep the source row in-block by

@@ -39,20 +39,25 @@ VMEM_BUDGET_BYTES = 96 * 1024 * 1024
 def _tiled_bytes(shape, itemsize=4):
     d = list(shape)
     d[-1] = -(-d[-1] // 128) * 128
-    d[-2] = -(-d[-2] // 8) * 8
+    sub = 16 if itemsize == 2 else 8   # bf16 tiles are (16, 128)
+    d[-2] = -(-d[-2] // sub) * sub
     return int(np.prod(d)) * itemsize
+
+
+def _itemsize(dtype) -> int:
+    return 2 if dtype == jnp.bfloat16 else 4
 
 
 def pallas_solve_supported(shape, dtype=jnp.float32) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if dtype != jnp.float32:
-        return False  # bf16 path not yet tuned
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
     if len(shape) != 3 or min(shape) < 4:
         return False
     # field(in)+field(out alias)+prev+keep resident, plus ~2 array-sized
     # elementwise temporaries Mosaic may materialize
-    need = 5 * _tiled_bytes(shape)
+    need = 5 * _tiled_bytes(shape, _itemsize(dtype))
     return need <= VMEM_BUDGET_BYTES
 
 

@@ -31,10 +31,13 @@ from fluid_simulation_tpu.ops.project import grid_h
 def pallas_project_supported(shape, dtype=jnp.float32) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if dtype != jnp.float32 or len(shape) != 3 or min(shape) < 4:
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
+    if len(shape) != 3 or min(shape) < 4:
+        return False
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
     # 3 velocities (aliased) + p + div scratch + ~2 temporaries
-    return 7 * _tiled_bytes(shape) <= VMEM_BUDGET_BYTES
+    return 7 * _tiled_bytes(shape, itemsize) <= VMEM_BUDGET_BYTES
 
 
 def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):

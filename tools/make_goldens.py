@@ -103,8 +103,34 @@ def run_scenario(exe, tmp, name, W, H, D, steps, extra=()):
     return fields, out
 
 
+def div_residual_grid_units(vx, vy, vz, obs):
+    """Post-projection divergence residual of one padded frame, in grid
+    units: 0.5 * sum of fluid-neighbor central differences per interior
+    fluid cell — the obstacle-aware stencil of simulation.cpp:297-316
+    without the h scaling (BASELINE.md residual row's convention).
+    Returns (max, mean) of |residual| over fluid interior cells."""
+    solid = obs >= 0.5
+    fluid = ~solid
+
+    def nb(f, dz, dy, dx):
+        return f[1 + dz:f.shape[0] - 1 + dz,
+                 1 + dy:f.shape[1] - 1 + dy,
+                 1 + dx:f.shape[2] - 1 + dx]
+
+    fl = fluid.astype(np.float32)
+    div = 0.5 * (
+        nb(vx, 0, 0, 1) * nb(fl, 0, 0, 1) - nb(vx, 0, 0, -1) * nb(fl, 0, 0, -1)
+        + nb(vy, 0, 1, 0) * nb(fl, 0, 1, 0) - nb(vy, 0, -1, 0) * nb(fl, 0, -1, 0)
+        + nb(vz, 1, 0, 0) * nb(fl, 1, 0, 0) - nb(vz, -1, 0, 0) * nb(fl, -1, 0, 0))
+    r = np.abs(div)[fluid[1:-1, 1:-1, 1:-1]]
+    return float(r.max()), float(r.mean())
+
+
 def save_step_golden(name, fields, W, H, D, steps):
     dens_sums = fields["dens"].astype(np.float64).sum(axis=(1, 2, 3))
+    div_max, div_mean = div_residual_grid_units(
+        fields["vx"][-1], fields["vy"][-1], fields["vz"][-1],
+        fields["obs"][-1])
     np.savez_compressed(
         os.path.join(GOLDEN_DIR, name + ".npz"),
         W=W, H=H, D=D, steps=steps,
@@ -112,10 +138,18 @@ def save_step_golden(name, fields, W, H, D, steps):
         vx_final=fields["vx"][-1], vy_final=fields["vy"][-1],
         vz_final=fields["vz"][-1],
         dens_sums=dens_sums.astype(np.float64),
-        # an early frame too, to catch divergence onset, not just the endpoint
+        # early frames too, to catch divergence onset, not just the endpoint:
+        # the full step-1 state (near-bitwise comparable, VERDICT r1 weak#2)
+        # and the step-5 probes
+        dens_step1=fields["dens"][0], vx_step1=fields["vx"][0],
+        vy_step1=fields["vy"][0], vz_step1=fields["vz"][0],
         dens_step5=fields["dens"][4], vx_step5=fields["vx"][4],
+        # post-projection divergence residual of the final frame (grid
+        # units; BASELINE.md row) for residual-parity checks
+        div_max=div_max, div_mean=div_mean,
     )
-    print(f"saved {name}: final dens sum {dens_sums[-1]:.6f}")
+    print(f"saved {name}: final dens sum {dens_sums[-1]:.6f}, "
+          f"div residual max {div_max:.3f} mean {div_mean:.4f}")
 
 
 def make_icosphere_stl(path, radius=10.0, subdiv=1):
@@ -179,6 +213,12 @@ def main():
 
     f, _ = run_scenario(exe, tmp, "box", 32, 16, 16, 20, extra=["box"])
     save_step_golden("box_32x16x16", f, 32, 16, 16, 20)
+
+    # BASELINE config 1 scale: 64^3 empty wind tunnel (the reference solver
+    # at its fixed acc=15 GS; the rebuild compares its 20-iter Jacobi run
+    # statistically — solver class differs by design, SURVEY.md §7)
+    f, _ = run_scenario(exe, tmp, "empty64", 64, 64, 64, 20, extra=["empty"])
+    save_step_golden("empty_64x64x64", f, 64, 64, 64, 20)
 
     stl = os.path.join(tmp, "icosphere.stl")
     make_icosphere_stl(stl, radius=10.0, subdiv=1)

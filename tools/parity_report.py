@@ -66,6 +66,16 @@ def report_scenario(name, obstacles=None):
         m_err = abs(np.abs(a).mean() - np.abs(r).mean()) / np.abs(r).mean()
         print(f"    final {key.split('_')[0]} mean|.| rel err"
               f"          : {m_err:.2e}")
+    if "div_max" in g.files:
+        from tools.make_goldens import div_residual_grid_units
+        obs = np.asarray(g["obs"], np.float32)
+        dmax, dmean = div_residual_grid_units(
+            np.asarray(wt.state.vx), np.asarray(wt.state.vy),
+            np.asarray(wt.state.vz), obs)
+        print(f"    div residual (grid units)          : "
+              f"max {dmax:.3f} / mean {dmean:.4f} "
+              f"(reference {float(g['div_max']):.3f} / "
+              f"{float(g['div_mean']):.4f})")
 
 
 def headline():
@@ -82,6 +92,15 @@ def headline():
     print(f"    dens max    : {r['density'][1]:.4f}   (reference 0.0505)")
     print(f"    vx range    : [{r['vx'][0]:.2f}, {r['vx'][1]:.2f}]"
           f"   (reference [-10.24, 28.61])")
+    # BASELINE.md residual row (final frame, central diff, grid units):
+    # reference measured max 9.29, mean 0.258 from its own dump
+    from tools.make_goldens import div_residual_grid_units
+    p = wt.params
+    dmax, dmean = div_residual_grid_units(
+        np.asarray(wt.state.vx), np.asarray(wt.state.vy),
+        np.asarray(wt.state.vz), np.zeros(p.padded_shape, np.float32))
+    print(f"    div residual: max {dmax:.2f} / mean {dmean:.4f}"
+          f"   (reference 9.29 / 0.258)")
 
 
 def main():
