@@ -35,7 +35,9 @@ def load_library() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # always run make: a no-op when current, a rebuild when the sources
+        # are newer than a stale .so (make tracks the dependency mtimes)
+        if not _build() and not os.path.exists(_LIB_PATH):
             raise OSError("libfstpu.so unavailable and could not be built")
         _lib = ctypes.CDLL(_LIB_PATH)
         return _lib

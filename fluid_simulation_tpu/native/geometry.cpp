@@ -69,6 +69,8 @@ extern "C" {
 // Returns the number of obstacle cells written into out_mask, which must be a
 // zero-initialized float array of (D+2)*(H+2)*(W+2), z-major/x-fastest like
 // the solver grid. Triangles are (n,3,3) float32, already rotated.
+// fine_divisor is 200.0 for reference behavior (object_loader.cpp:368);
+// tests pass smaller values to shrink the fine scan grid.
 long fstpu_voxelize_ray_parity(
     const float* tris, long n_tris,
     const double* padded_lo, const double* padded_hi,
@@ -76,6 +78,7 @@ long fstpu_voxelize_ray_parity(
     long W, long H, long D,
     const double* translate,
     uint64_t seed,
+    double fine_divisor,
     float* out_mask) {
 
     // fine resolution & scan dims (object_loader.cpp:362-372)
@@ -85,7 +88,7 @@ long fstpu_voxelize_ray_parity(
     double obj_size = ext_x;
     if (ext_y > obj_size) obj_size = ext_y;
     if (ext_z > obj_size) obj_size = ext_z;
-    double resolution = obj_size / 200.0;
+    double resolution = obj_size / fine_divisor;
     if (resolution < 0.02) resolution = 0.02;
     const long nx = (long)(ext_x / resolution);
     const long ny = (long)(ext_y / resolution);

@@ -14,7 +14,8 @@ def voxelize_ray_parity(tris: np.ndarray, obj_center: np.ndarray,
                         padded_lo: np.ndarray, padded_hi: np.ndarray,
                         scale: float, W: int, H: int, D: int,
                         translate: Tuple[float, float, float],
-                        seed: int = 0) -> np.ndarray:
+                        seed: int = 0,
+                        fine_divisor: float = 200.0) -> np.ndarray:
     """Bit-identical to scene.voxelize.voxelize_ray_parity, computed by the
     OpenMP engine. Returns the padded (D+2, H+2, W+2) obstacle mask."""
     lib = load_library()
@@ -26,6 +27,7 @@ def voxelize_ray_parity(tris: np.ndarray, obj_center: np.ndarray,
         ctypes.POINTER(ctypes.c_double), ctypes.c_double,
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.c_uint64,
+        ctypes.c_double,
         ctypes.POINTER(ctypes.c_float),
     ]
 
@@ -43,5 +45,5 @@ def voxelize_ray_parity(tris: np.ndarray, obj_center: np.ndarray,
        p(lo, ctypes.c_double), p(hi, ctypes.c_double),
        p(ctr, ctypes.c_double), float(scale),
        W, H, D, p(tr, ctypes.c_double), int(seed) & (2 ** 64 - 1),
-       p(out, ctypes.c_float))
+       float(fine_divisor), p(out, ctypes.c_float))
     return out

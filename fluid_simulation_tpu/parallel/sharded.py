@@ -124,12 +124,14 @@ def _local_masks(solid, n, i, D, H, W, Dl) -> _LocalMasks:
     red_i = (((zg + yg + xg) % 2) == 0)
 
     fl = 1.0 - solid
-    inb_xp = (xg + 1 <= W).astype(jnp.float32)
-    inb_xm = (xg - 1 >= 1).astype(jnp.float32)
-    inb_yp = (yg + 1 <= H).astype(jnp.float32)
-    inb_ym = (yg - 1 >= 1).astype(jnp.float32)
-    inb_zp = (zg + 1 <= D).astype(jnp.float32)
-    inb_zm = (zg - 1 >= 1).astype(jnp.float32)
+    # in-bounds masks in the field dtype: f32 here would promote the whole
+    # divergence stencil and trip the f32->bf16 scatter FutureWarning
+    inb_xp = (xg + 1 <= W).astype(solid.dtype)
+    inb_xm = (xg - 1 >= 1).astype(solid.dtype)
+    inb_yp = (yg + 1 <= H).astype(solid.dtype)
+    inb_ym = (yg - 1 >= 1).astype(solid.dtype)
+    inb_zp = (zg + 1 <= D).astype(solid.dtype)
+    inb_zm = (zg - 1 >= 1).astype(solid.dtype)
     nb = (
         fl[1:-1, 1:-1, 2:] * inb_xp, fl[1:-1, 1:-1, :-2] * inb_xm,
         fl[1:-1, 2:, 1:-1] * inb_yp, fl[1:-1, :-2, 1:-1] * inb_ym,
@@ -688,9 +690,10 @@ class ShardedWindTunnel:
         if obstacles is None:
             obstacles = np.zeros(params.padded_shape, np.float32)
         self.obstacles = np.asarray(obstacles, np.float32)
-        solid = (self.obstacles >= 0.5).astype(np.float32)
+        dtype = jnp.bfloat16 if params.dtype == "bfloat16" else np.float32
+        solid = (self.obstacles >= 0.5).astype(dtype)
         self.solid_stacked = self._shard(split_padded(solid, self.n))
-        zeros = split_padded(np.zeros(params.padded_shape, np.float32), self.n)
+        zeros = split_padded(np.zeros(params.padded_shape, dtype), self.n)
         self.state = FluidState(*[self._shard(zeros.copy()) for _ in range(4)])
 
     def _shard(self, stacked: np.ndarray):

@@ -181,11 +181,13 @@ def voxelize_ray_parity(tris: np.ndarray, obj_center: np.ndarray,
                         padded_lo: np.ndarray, padded_hi: np.ndarray,
                         scale: float, W: int, H: int, D: int,
                         translate: Tuple[float, float, float],
-                        seed: int = 0) -> np.ndarray:
+                        seed: int = 0,
+                        fine_divisor: float = 200.0) -> np.ndarray:
     """The reference pipeline on the rotated triangles (see module docstring).
-    Returns the padded obstacle mask."""
+    Returns the padded obstacle mask. ``fine_divisor=200`` is the reference
+    fine-grid rule (object_loader.cpp:368); tests shrink it to bound cost."""
     obj_size = float(np.max(padded_hi - padded_lo))
-    resolution = max(obj_size / 200.0, 0.02)     # object_loader.cpp:368
+    resolution = max(obj_size / fine_divisor, 0.02)  # object_loader.cpp:368
     n = ((padded_hi - padded_lo) / resolution).astype(int)  # :370-372
 
     # coarse occupancy grid: 64^3, cell = 5x fine resolution (:380-389)

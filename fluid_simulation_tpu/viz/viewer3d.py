@@ -53,7 +53,9 @@ def build_scene(data_dir: str, params: ViewerParams = None,
     # (z, y, x) -> (x, y, z) like the viewer (GUI/main_window.py:204)
     obs = np.transpose(frame["obs"], (2, 1, 0))
     scene = {"verts": np.zeros((0, 3)), "faces": np.zeros((0, 3), np.int64),
-             "streamlines": [], "colors": []}
+             "streamlines": [], "colors": [],
+             # padded dims in viewer axis order, like GUI/config.py:8-11
+             "dims": tuple(int(n) for n in obs.shape)}
     if show_obstacles:
         mesh = generate_obstacle_mesh(obs)
         if np.size(mesh["vertexes"]):
@@ -74,6 +76,62 @@ def build_scene(data_dir: str, params: ViewerParams = None,
         scene["streamlines"] = kept
         scene["colors"] = colors[:len(kept)]
     return scene
+
+
+def background_geometry(width: int, height: int, depth: int,
+                        grid_step: int = 5, axis_len: float = 20.0) -> Dict:
+    """Reference-grid / coordinate-axes / domain-bbox line sets
+    (GUI/gl_widget.py:93-182), headless and testable.
+
+    Returns ``{name: (segments(N,2,3) f32, rgba, line_width)}`` in the
+    viewer's shifted frame (domain corner at (-1,-1,-1), the reference's
+    ``domain_offset``). The reference's grid loops run every plane's line
+    coordinate over ``range(0, width, 5)`` — lines beyond the domain on the
+    shorter axes (gl_widget.py:100-121); here lines are clipped to each
+    plane's true extent (a deliberate fix, same visual intent).
+    """
+    W, H, D = float(width), float(height), float(depth)
+    o = -1.0   # domain_offset (gl_widget.py:20)
+    segs = []
+
+    def line(a, b):
+        segs.append((a, b))
+
+    # floor/back/side grids on the three coordinate planes through the origin
+    for x in np.arange(0.0, W + 0.5, grid_step):
+        line((x + o, o, o), (x + o, H + o, o))          # X-Y plane, x = const
+        line((x + o, o, o), (x + o, o, D + o))          # X-Z plane, x = const
+    for y in np.arange(0.0, H + 0.5, grid_step):
+        line((o, y + o, o), (W + o, y + o, o))          # X-Y plane, y = const
+        line((o, y + o, o), (o, y + o, D + o))          # Y-Z plane, y = const
+    for z in np.arange(0.0, D + 0.5, grid_step):
+        line((o, o, z + o), (W + o, o, z + o))          # X-Z plane, z = const
+        line((o, o, z + o), (o, H + o, z + o))          # Y-Z plane, z = const
+    grid = np.asarray(segs, np.float32)
+
+    axes = {
+        "axis_x": (np.asarray([[(o, o, o), (o + axis_len, o, o)]], np.float32),
+                   (1.0, 0.0, 0.0, 1.0), 2.5),
+        "axis_y": (np.asarray([[(o, o, o), (o, o + axis_len, o)]], np.float32),
+                   (0.0, 1.0, 0.0, 1.0), 2.5),
+        "axis_z": (np.asarray([[(o, o, o), (o, o, o + axis_len)]], np.float32),
+                   (0.0, 0.0, 1.0, 1.0), 2.5),
+    }
+
+    # domain bounding box: 12 edges between (-1,-1,-1) and (W-1,H-1,D-1)
+    # (gl_widget.py:149-182 uses config dims - 1 == padded corner positions)
+    x0 = y0 = z0 = o
+    x1, y1, z1 = W + o, H + o, D + o
+    c = [(x0, y0, z0), (x1, y0, z0), (x1, y1, z0), (x0, y1, z0),
+         (x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)]
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    bbox = np.asarray([[c[a], c[b]] for a, b in edges], np.float32)
+
+    out = {"grid": (grid, (0.3, 0.3, 0.3, 0.5), 1.0),
+           "bbox": (bbox, (1.0, 1.0, 1.0, 0.3), 1.5)}
+    out.update(axes)
+    return out
 
 
 def launch_viewer_3d(data_dir: str, params: ViewerParams = None,
@@ -122,17 +180,54 @@ def _launch_qt_gl(data_dir, params, dims) -> int:
             super().__init__()
             self.scene = {"verts": np.zeros((0, 3)),
                           "faces": np.zeros((0, 3), np.int64),
-                          "streamlines": [], "colors": []}
+                          "streamlines": [], "colors": [], "dims": None}
             self.rot = [20.0, -60.0]
             self.pan = [0.0, 0.0]
             self.dist = 150.0
             self._last = None
+            self._bg = None           # background_geometry cache
+            self._vbo = self._ibo = None
+            self._mesh_rev = None     # id() of the uploaded verts array
 
         def initializeGL(self):
             GL.glEnable(GL.GL_DEPTH_TEST)
             GL.glEnable(GL.GL_BLEND)
             GL.glBlendFunc(GL.GL_SRC_ALPHA, GL.GL_ONE_MINUS_SRC_ALPHA)
             GL.glClearColor(0.12, 0.12, 0.14, 1.0)
+
+        def _draw_background(self):
+            """Reference grid, axes and domain bbox (gl_widget.py:93-182)."""
+            if self.scene.get("dims") is None:
+                return
+            if self._bg is None or self._bg[0] != self.scene["dims"]:
+                self._bg = (self.scene["dims"],
+                            background_geometry(*self.scene["dims"]))
+            GL.glEnableClientState(GL.GL_VERTEX_ARRAY)
+            for segs, rgba, width in self._bg[1].values():
+                GL.glColor4f(*rgba)
+                GL.glLineWidth(width)
+                flat = np.ascontiguousarray(segs.reshape(-1, 3), np.float32)
+                GL.glVertexPointer(3, GL.GL_FLOAT, 0, flat)
+                GL.glDrawArrays(GL.GL_LINES, 0, len(flat))
+            GL.glDisableClientState(GL.GL_VERTEX_ARRAY)
+            GL.glLineWidth(1.0)
+
+        def _upload_mesh(self, v, f):
+            """VBO + IBO mesh path (gl_widget.py:184-249); buffers are
+            (re)filled only when the scene's vertex array changes."""
+            if self._vbo is None:
+                self._vbo = int(GL.glGenBuffers(1))
+                self._ibo = int(GL.glGenBuffers(1))
+            GL.glBindBuffer(GL.GL_ARRAY_BUFFER, self._vbo)
+            GL.glBindBuffer(GL.GL_ELEMENT_ARRAY_BUFFER, self._ibo)
+            if self._mesh_rev != id(v):
+                GL.glBufferData(GL.GL_ARRAY_BUFFER,
+                                np.ascontiguousarray(v, np.float32),
+                                GL.GL_STATIC_DRAW)
+                GL.glBufferData(GL.GL_ELEMENT_ARRAY_BUFFER,
+                                np.ascontiguousarray(f, np.uint32),
+                                GL.GL_STATIC_DRAW)
+                self._mesh_rev = id(v)
 
         def resizeGL(self, w, h):
             GL.glViewport(0, 0, w, max(1, h))
@@ -148,23 +243,34 @@ def _launch_qt_gl(data_dir, params, dims) -> int:
             GL.glRotatef(self.rot[0], 1, 0, 0)
             GL.glRotatef(self.rot[1], 0, 1, 0)
             v, f = self.scene["verts"], self.scene["faces"]
-            if len(v):
+            # one world translate shared by background + mesh + streamlines:
+            # look at the domain center (dims known) or the mesh centroid
+            if self.scene.get("dims"):
+                d = self.scene["dims"]
+                c = np.asarray(d, np.float32) / 2.0 - 1.0
+            elif len(v):
                 c = v.mean(axis=0)
-                GL.glTranslatef(-c[0], -c[1], -c[2])
+            else:
+                c = np.zeros(3, np.float32)
+            GL.glTranslatef(-c[0], -c[1], -c[2])
+            self._draw_background()
+            if len(v):
+                self._upload_mesh(v, f)
                 GL.glColor4f(0.5, 0.5, 0.5, 1.0)
                 GL.glEnableClientState(GL.GL_VERTEX_ARRAY)
-                GL.glVertexPointer(3, GL.GL_FLOAT, 0,
-                                   np.ascontiguousarray(v, np.float32))
+                GL.glVertexPointer(3, GL.GL_FLOAT, 0, None)   # from the VBO
                 GL.glDrawElements(GL.GL_TRIANGLES, f.size, GL.GL_UNSIGNED_INT,
-                                  np.ascontiguousarray(f, np.uint32))
+                                  None)                       # from the IBO
                 GL.glPolygonMode(GL.GL_FRONT_AND_BACK, GL.GL_LINE)
                 GL.glEnable(GL.GL_POLYGON_OFFSET_LINE)
                 GL.glPolygonOffset(-1.0, -1.0)
                 GL.glColor4f(0.2, 0.2, 0.2, 1.0)
                 GL.glDrawElements(GL.GL_TRIANGLES, f.size, GL.GL_UNSIGNED_INT,
-                                  np.ascontiguousarray(f, np.uint32))
+                                  None)
                 GL.glPolygonMode(GL.GL_FRONT_AND_BACK, GL.GL_FILL)
                 GL.glDisableClientState(GL.GL_VERTEX_ARRAY)
+                GL.glBindBuffer(GL.GL_ARRAY_BUFFER, 0)
+                GL.glBindBuffer(GL.GL_ELEMENT_ARRAY_BUFFER, 0)
             for ln, col in zip(self.scene["streamlines"],
                                self.scene["colors"]):
                 GL.glColor4f(*col)

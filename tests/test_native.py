@@ -50,8 +50,13 @@ def _voxelize_both(tmp_path, stl_path, rot_angles=(15, 25, 35)):
     rot, center = rotate_triangles(tris, *rot_angles)
     lo, hi, _ = bounding_sphere_box(tris, center)
     args = (rot, center, lo, hi, 0.6, 24, 16, 16, (1.0, 0.0, -1.0))
-    return (voxelize_ray_parity(*args, seed=11),
-            ngeo.voxelize_ray_parity(*args, seed=11))
+    # fine_divisor=48 (reference rule is 200): same code path in both
+    # engines, ~70x fewer fine points — this test asserts ENGINE EQUALITY,
+    # not absolute resolution (full-rule runs live in test_scene via the
+    # native engine, and the golden IoU check)
+    kw = dict(seed=11, fine_divisor=48.0)
+    return (voxelize_ray_parity(*args, **kw),
+            ngeo.voxelize_ray_parity(*args, **kw))
 
 
 def test_native_voxelizer_bit_identical_generic_mesh(tmp_path):

@@ -128,8 +128,9 @@ def test_voxelizers_agree_on_sphere(tmp_path):
     assert inter / union > 0.85
 
     scene2 = SceneParams(stl_path=stl, scale=0.8, voxelizer="ray_parity")
-    obs_p = load_stl_into_obstacles(scene2, empty_obstacles(W, H, D),
-                                    use_native=False)
+    # native engine when buildable (bit-identical to NumPy per test_native;
+    # the NumPy full-rule path costs ~6 min here) — falls back automatically
+    obs_p = load_stl_into_obstacles(scene2, empty_obstacles(W, H, D))
     # ray-parity keeps the reference's shell quirk, and marks any cell that
     # contains an inside sample point (outer-inclusive): every shell cell must
     # lie within one cell of the rasterized solid
@@ -158,8 +159,7 @@ def test_ray_parity_matches_reference_golden():
                             rot_z=float(rot[2]), translate_x=float(tr[0]),
                             translate_y=float(tr[1]), translate_z=float(tr[2]),
                             voxelizer="ray_parity")
-        obs = load_stl_into_obstacles(scene, empty_obstacles(64, 32, 32),
-                                      use_native=False)
+        obs = load_stl_into_obstacles(scene, empty_obstacles(64, 32, 32))
     ref = g["obs"]
     inter = np.logical_and(obs > 0, ref > 0).sum()
     union = np.logical_or(obs > 0, ref > 0).sum()

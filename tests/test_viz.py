@@ -135,6 +135,29 @@ def test_build_scene_headless(small_dump):
     scene = build_scene(small_dump, p)
     assert len(scene["verts"]) > 0             # box obstacle surface found
     assert scene["faces"].shape[1] == 3
+    assert scene["dims"] == (18, 10, 10)       # padded dims, viewer order
+
+
+def test_background_geometry():
+    """Grid/axes/domain-bbox line sets (GUI/gl_widget.py:93-182 analog,
+    VERDICT r1 C27 gap)."""
+    from fluid_simulation_tpu.viz.viewer3d import background_geometry
+    bg = background_geometry(20, 10, 10, grid_step=5, axis_len=20.0)
+    assert set(bg) == {"grid", "bbox", "axis_x", "axis_y", "axis_z"}
+    for segs, rgba, width in bg.values():
+        assert segs.ndim == 3 and segs.shape[1:] == (2, 3)
+        assert segs.dtype == np.float32 and len(rgba) == 4 and width > 0
+    # bbox spans corner (-1,-1,-1) .. (W-1, H-1, D-1), 12 edges
+    bbox = bg["bbox"][0]
+    assert bbox.shape[0] == 12
+    assert bbox.min() == -1.0 and bbox.reshape(-1, 3).max(axis=0).tolist() \
+        == [19.0, 9.0, 9.0]
+    # grid lines stay inside their coordinate planes (one coord fixed at -1)
+    grid = bg["grid"][0]
+    assert ((grid[:, 0] == -1.0) | (grid[:, 1] == -1.0)).any(axis=-1).all()
+    # axes: unit-color RGB, length 20 from the domain corner
+    ax = bg["axis_x"][0][0]
+    np.testing.assert_array_equal(ax[1] - ax[0], [20.0, 0.0, 0.0])
 
 
 def test_export_pngs(small_dump, tmp_path):
