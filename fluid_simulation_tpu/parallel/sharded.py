@@ -21,9 +21,12 @@ to compiler FMA-contraction choices (~1 ulp; asserted at 5e-5 relative in
 tests/test_sharding.py on a virtual 8-device CPU mesh).
 
 Advection backtraces can reach the whole domain (the reference clamps only to
-the global box, simulation.cpp:388-390), so each advect all-gathers the source
-field over the z axis before the local trilinear gather — one full-field ICI
-transfer per advect; the relaxation sweeps only move single slices.
+the global box, simulation.cpp:388-390). Each advect's z-reads come from a
+bounded K-slab halo window (``advect_halo_slabs``; 2K slabs + 2 ghost planes
+of ICI per field) with a runtime uniform-predicate fallback to a full
+all-gather whenever any backtrace reaches further — exact either way. The
+relaxation sweeps move only single planes, and run as fused per-slab Pallas
+kernels when supported (kernels/linsolve_sweep.py).
 """
 
 from __future__ import annotations

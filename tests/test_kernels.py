@@ -36,6 +36,25 @@ def test_pallas_solve_matches_oracle(b):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("b,kw", [
+    (0, {}), (1, {}), (2, dict(wall_mode="noslip")),
+    (3, dict(empty_scene=True)), (0, dict(acc=1))])
+def test_packed_solve_matches_oracle(b, kw):
+    """Packed-interior kernel variant (exact-tile layout, ghost planes in
+    scratch): value-identical to the oracle in every mode."""
+    f, g, masks = _setup()
+    acc = kw.pop("acc", 6)
+    empty = kw.get("empty_scene", False)
+    ref = linear_solver(b, f, g, 1.0, 6.0, masks, acc=acc, solver="rbgs",
+                        wall_mode=kw.get("wall_mode", "reference"),
+                        empty_scene=empty)
+    keep = None if empty else (
+        masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
+    got = pallas_rbgs_solve(b, f, g, keep, 1.0, 6.0, acc=acc, interpret=True,
+                            packed=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_solve_noslip_mode():
     f, g, masks = _setup()
     ref = linear_solver(2, f, g, 0.5, 4.0, masks, acc=5, solver="rbgs",
