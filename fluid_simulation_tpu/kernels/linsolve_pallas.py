@@ -137,14 +137,17 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
     tiles to 256 lanes (~2x VPU waste on every op, measured 35.4 vs
     18.0 us/sweep; NOTES.md), so packing halves the solve cost.
 
-    Ghost faces are carried as six explicit boundary planes in scratch
-    (seeded from the padded input's real ghost faces, refreshed *pre-keep*
-    at each sweep end — exactly when the padded kernel writes its faces),
-    and the shift concats splice them in. This is value-identical to the
-    padded kernel by construction: every read a sweep makes sees the same
-    f32 number, including the subtle cases (solid cells carry nonzero
-    intermediate values within a sweep because keep applies at sweep end,
-    and their stale prekeep mirrors are what neighbors read)."""
+    Ghost handling: after any full sweep, every ghost face is a signed
+    mirror of the *pre-keep* edge value (setBounds, ops/bounds.py:54-61),
+    so the packed sweeps read ghosts as ``sign * fpre`` at the edge
+    positions, where ``fpre`` is a pre-keep snapshot of the previous sweep
+    — spliced in with ``pltpu.roll`` + iota-edge selects (x/y) and axis-0
+    concats (z). Only the FIRST sweep sees arbitrary input ghosts (whatever
+    state the caller passed), so sweep 1 runs in the legacy padded form and
+    the remaining ``acc-1`` sweeps run packed. Value-identical to the
+    padded kernel by construction, including the subtle case that solid
+    cells carry nonzero intermediate values within a sweep (keep applies at
+    sweep end) and neighbors read their stale pre-keep mirrors."""
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     a_lit = float(np.float32(a))
@@ -157,20 +160,9 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
         sy = -1.0 if b == 2 else 1.0
         sz = -1.0 if b == 3 else 1.0
 
-    def _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp,
-              gx0, gx1, gy0, gy1, gz0, gz1):
+    def _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
         out_ref[...] = field_ref[...]
-        fp[...] = field_ref[1:-1, 1:-1, 1:-1]
-        pp[...] = prev_ref[1:-1, 1:-1, 1:-1]
-        if apply_keep:
-            kp[...] = keep_ref[1:-1, 1:-1, 1:-1]
-        # ghost planes start as the input's actual ghost faces
-        gx0[...] = field_ref[1:-1, 1:-1, 0:1]
-        gx1[...] = field_ref[1:-1, 1:-1, W + 1:W + 2]
-        gy0[...] = field_ref[1:-1, 0:1, 1:-1]
-        gy1[...] = field_ref[1:-1, H + 1:H + 2, 1:-1]
-        gz0[...] = field_ref[0:1, 1:-1, 1:-1]
-        gz1[...] = field_ref[D + 1:D + 2, 1:-1, 1:-1]
+        prev_i = prev_ref[1:-1, 1:-1, 1:-1]
         iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
         iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
         ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
@@ -181,68 +173,79 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
         syc = jnp.asarray(sy, dtype)
         szc = jnp.asarray(sz, dtype)
 
+        # ---- sweep 1, legacy padded form: the only sweep that reads the
+        # caller's (arbitrary) input ghost faces
+        def half_padded(take_red):
+            f = out_ref[...]
+            s = (
+                (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
+                  + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
+                + f[2:, 1:-1, 1:-1]
+            ) + f[:-2, 1:-1, 1:-1]
+            upd = (prev_i + a_c * s) * crec
+            cur = f[1:-1, 1:-1, 1:-1]
+            sel = red if take_red else jnp.logical_not(red)
+            out_ref[1:-1, 1:-1, 1:-1] = jnp.where(sel, upd, cur)
+
+        half_padded(True)
+        half_padded(False)
+        fpre[...] = out_ref[1:-1, 1:-1, 1:-1]      # pre-keep snapshot
+        if apply_keep:
+            out_ref[...] = out_ref[...] * keep_ref[...]
+            kp[...] = keep_ref[1:-1, 1:-1, 1:-1]
+        fp[...] = out_ref[1:-1, 1:-1, 1:-1]
+        pp[...] = prev_i
+
+        # ---- sweeps 2..acc, packed: ghosts are signed mirrors of fpre at
+        # the edge positions (see docstring)
         def half(take_red):
             f = fp[...]
-            xp = jnp.concatenate([f[:, :, 1:], gx1[...]], axis=2)
-            xm = jnp.concatenate([gx0[...], f[:, :, :W - 1]], axis=2)
-            yp = jnp.concatenate([f[:, 1:], gy1[...]], axis=1)
-            ym = jnp.concatenate([gy0[...], f[:, :H - 1]], axis=1)
-            zp = jnp.concatenate([f[1:], gz1[...]], axis=0)
-            zm = jnp.concatenate([gz0[...], f[:D - 1]], axis=0)
+            pre = fpre[...]
+            # pltpu.roll takes non-negative shifts: roll by size-1 == -1
+            xp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
+            xm = jnp.where(ix == 0, sxc * pre, pltpu.roll(f, 1, 2))
+            yp = jnp.where(iy == H - 1, syc * pre, pltpu.roll(f, H - 1, 1))
+            ym = jnp.where(iy == 0, syc * pre, pltpu.roll(f, 1, 1))
+            zp = jnp.concatenate([f[1:], szc * pre[D - 1:]], axis=0)
+            zm = jnp.concatenate([szc * pre[:1], f[:D - 1]], axis=0)
             s = (((xp + xm) + yp) + ym + zp) + zm
             upd = (pp[...] + a_c * s) * crec
             sel = red if take_red else jnp.logical_not(red)
             fp[...] = jnp.where(sel, upd, f)
 
-        def faces():
-            """setBounds faces, pre-keep (ops/bounds.py:54-61)."""
-            f = fp[...]
-            gx0[...] = sxc * f[:, :, 0:1]
-            gx1[...] = f[:, :, W - 1:W]        # x+ outflow copy
-            gy0[...] = syc * f[:, 0:1, :]
-            gy1[...] = syc * f[:, H - 1:H, :]
-            gz0[...] = szc * f[0:1]
-            gz1[...] = szc * f[D - 1:D]
-
         def sweep(i, _):
             half(True)
             half(False)
-            faces()
+            fpre[...] = fp[...]                    # pre-keep snapshot
             if apply_keep:
                 fp[...] = fp[...] * kp[...]
             return 0
 
-        jax.lax.fori_loop(0, acc, sweep, 0)
-        out_ref[1:-1, 1:-1, 0:1] = gx0[...]
-        out_ref[1:-1, 1:-1, W + 1:W + 2] = gx1[...]
-        out_ref[1:-1, 0:1, 1:-1] = gy0[...]
-        out_ref[1:-1, H + 1:H + 2, 1:-1] = gy1[...]
-        out_ref[0:1, 1:-1, 1:-1] = gz0[...]
-        out_ref[D + 1:D + 2, 1:-1, 1:-1] = gz1[...]
+        jax.lax.fori_loop(0, acc - 1, sweep, 0)
         out_ref[1:-1, 1:-1, 1:-1] = fp[...]
+        # final ghost faces = signed mirrors of the final pre-keep edges
+        # (identical to the legacy kernel's face writes)
+        out_ref[1:-1, 1:-1, 0] = sxc * fpre[:, :, 0]
+        out_ref[1:-1, 1:-1, W + 1] = fpre[:, :, W - 1]     # x+ outflow
+        out_ref[1:-1, 0, 1:-1] = syc * fpre[:, 0, :]
+        out_ref[1:-1, H + 1, 1:-1] = syc * fpre[:, H - 1, :]
+        out_ref[0, 1:-1, 1:-1] = szc * fpre[0]
+        out_ref[D + 1, 1:-1, 1:-1] = szc * fpre[D - 1]
 
     if apply_keep:
-        def kernel(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp,
-                   gx0, gx1, gy0, gy1, gz0, gz1):
-            _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp,
-                  gx0, gx1, gy0, gy1, gz0, gz1)
+        def kernel(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
+            _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre)
     else:
-        def kernel(prev_ref, field_ref, out_ref, fp, pp,
-                   gx0, gx1, gy0, gy1, gz0, gz1):
-            _body(prev_ref, None, field_ref, out_ref, fp, pp, None,
-                  gx0, gx1, gy0, gy1, gz0, gz1)
+        def kernel(prev_ref, field_ref, out_ref, fp, pp, fpre):
+            _body(prev_ref, None, field_ref, out_ref, fp, pp, None, fpre)
     return kernel
 
 
 def _packed_scratch(shape, dtype, apply_keep):
     from jax.experimental.pallas import tpu as pltpu
     D, H, W = (n - 2 for n in shape)
-    bufs = [pltpu.VMEM((D, H, W), dtype) for _ in range(3 if apply_keep
-                                                        else 2)]
-    bufs += [pltpu.VMEM(s, dtype) for s in
-             ((D, H, 1), (D, H, 1), (D, 1, W), (D, 1, W),
-              (1, H, W), (1, H, W))]
-    return bufs
+    n = 4 if apply_keep else 3                     # fp, pp, (kp), fpre
+    return [pltpu.VMEM((D, H, W), dtype) for _ in range(n)]
 
 
 @functools.partial(jax.jit, static_argnames=("b", "a", "c", "acc",
@@ -259,7 +262,13 @@ def pallas_rbgs_solve(b: int, field: jnp.ndarray, prev: jnp.ndarray,
     (masks.keep_vel for velocity components, masks.keep_scalar otherwise).
     With ``empty_scene`` the keep input is dropped entirely (exact identity
     when no solids; saves one VMEM-resident array and one VPU pass/sweep).
-    ``interpret=True`` runs the Pallas interpreter (CPU tests)."""
+    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+
+    ``packed=True`` selects the interior-tiled kernel (3.7x faster at the
+    flagship grid). It requires ``keep == 1`` on the ghost shell — true for
+    every mask from ``build_masks`` (masks.py: keep arrays are ones with
+    only the interior overwritten); arbitrary keep inputs with zeros on
+    ghost faces would diverge from the legacy kernel there."""
     shape = field.shape
     make = _make_packed_kernel if packed else _make_kernel
     kernel = make(b, acc, a, c, wall_mode, shape, field.dtype,

@@ -68,9 +68,12 @@ def linear_solver(
         keep = None if empty_scene else (
             masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
         if pallas_solve_supported(f.shape, f.dtype):
+            # packed=True: interior-tiled sweeps (3.7x faster at 128x64x64,
+            # NOTES.md); exact because build_masks guarantees keep == 1 on
+            # the ghost shell (masks.py keep_scalar/keep_vel construction)
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
                                      acc=acc, wall_mode=wall_mode,
-                                     empty_scene=empty_scene)
+                                     empty_scene=empty_scene, packed=True)
         from fluid_simulation_tpu.kernels.linsolve_blocked import (
             pallas_blocked_solve_supported, pallas_rbgs_solve_blocked)
         if pallas_blocked_solve_supported(f.shape, f.dtype):
