@@ -36,8 +36,10 @@ def pallas_project_supported(shape, dtype=jnp.float32) -> bool:
     if len(shape) != 3 or min(shape) < 4:
         return False
     itemsize = 2 if dtype == jnp.bfloat16 else 4
-    # 3 velocities (aliased) + p + div scratch + ~2 temporaries
-    return 7 * _tiled_bytes(shape, itemsize) <= VMEM_BUDGET_BYTES
+    # 3 velocities (aliased) + p/div/fpre interior scratch + ~2 temporaries
+    interior = tuple(n - 2 for n in shape)
+    return (4 * _tiled_bytes(shape, itemsize)
+            + 5 * _tiled_bytes(interior, itemsize)) <= VMEM_BUDGET_BYTES
 
 
 def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
@@ -60,20 +62,21 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         svz = (1.0, 1.0, -1.0)
 
     def kernel(vx_ref, vy_ref, vz_ref, vxo_ref, vyo_ref, vzo_ref,
-               p_ref, div_ref):
+               pp, dp, fpre):
         vxo_ref[...] = vx_ref[...]
         vyo_ref[...] = vy_ref[...]
         vzo_ref[...] = vz_ref[...]
 
         # in-bounds neighbor masks (reference guards, simulation.cpp:307-312);
-        # booleans from iotas, broadcast over the interior
-        ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2) + 1
-        iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1) + 1
-        iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0) + 1
-        xp, xm = ix + 1 <= W, ix - 1 >= 1
-        yp, ym = iy + 1 <= H, iy - 1 >= 1
-        zp, zm = iz + 1 <= D, iz - 1 >= 1
-        red = ((iz + iy + ix) % 2) == 0   # 1-based parity (masks.py red_i)
+        # booleans from 0-based iotas over the packed interior
+        ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
+        xp, xm = ix < W - 1, ix > 0
+        yp, ym = iy < H - 1, iy > 0
+        zp, zm = iz < D - 1, iz > 0
+        # 1-based parity (masks.py red_i): (iz+1 + iy+1 + ix+1) % 2 == 0
+        red = ((iz + iy + ix) % 2) == 1
         zero = jnp.zeros((D, H, W), dtype)
 
         def faces(ref, sx, sy, sz):
@@ -85,7 +88,8 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
             ref[D + 1, 1:-1, 1:-1] = sz * ref[D, 1:-1, 1:-1]
 
         # divergence with skipped out-of-bounds neighbors
-        # (simulation.cpp:297-316), then scalar faces (setBounds(0, div))
+        # (simulation.cpp:297-316); the reference's setBounds(0, div) only
+        # writes div's ghost faces, which nothing below reads — elided
         vxv, vyv, vzv = vxo_ref[...], vyo_ref[...], vzo_ref[...]
         div_val = (
             jnp.where(xp, vxv[1:-1, 1:-1, 2:], zero)
@@ -94,38 +98,43 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
             - jnp.where(ym, vyv[1:-1, :-2, 1:-1], zero)
             + jnp.where(zp, vzv[2:, 1:-1, 1:-1], zero)
             - jnp.where(zm, vzv[:-2, 1:-1, 1:-1], zero))
-        div_ref[...] = jnp.zeros(shape, dtype)
-        div_ref[1:-1, 1:-1, 1:-1] = jnp.asarray(neg_half_h, dtype) * div_val
-        faces(div_ref, 1.0, 1.0, 1.0)
-        p_ref[...] = jnp.zeros(shape, dtype)
+        dp[...] = jnp.asarray(neg_half_h, dtype) * div_val
 
-        # Poisson: acc red-black sweeps with scalar faces per sweep
-        prev_i = div_ref[1:-1, 1:-1, 1:-1]
+        # Poisson: acc red-black sweeps, packed-interior layout. p starts at
+        # zero everywhere, and the scalar faces written after each sweep are
+        # plain copies of the edge value (all signs 1, x+ = outflow copy), so
+        # a sweep's ghost reads equal the previous sweep's edge values — held
+        # in the fpre snapshot (zeros before sweep 1, matching p's zero init).
+        pp[...] = zero
+        fpre[...] = zero
+        crec = jnp.asarray(c_recip, dtype)
 
         def half(take_red):
-            f = p_ref[...]
-            s = (
-                (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
-                  + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
-                + f[2:, 1:-1, 1:-1]
-            ) + f[:-2, 1:-1, 1:-1]
-            upd = (prev_i + s) * jnp.asarray(c_recip, dtype)
-            cur = f[1:-1, 1:-1, 1:-1]
+            f = pp[...]
+            pre = fpre[...]
+            nxp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
+            nxm = jnp.where(ix == 0, pre, pltpu.roll(f, 1, 2))
+            nyp = jnp.where(iy == H - 1, pre, pltpu.roll(f, H - 1, 1))
+            nym = jnp.where(iy == 0, pre, pltpu.roll(f, 1, 1))
+            nzp = jnp.concatenate([f[1:], pre[D - 1:]], axis=0)
+            nzm = jnp.concatenate([pre[:1], f[:D - 1]], axis=0)
+            s = (((nxp + nxm) + nyp) + nym + nzp) + nzm
+            upd = (dp[...] + s) * crec
             sel = red if take_red else jnp.logical_not(red)
-            p_ref[1:-1, 1:-1, 1:-1] = jnp.where(sel, upd, cur)
+            pp[...] = jnp.where(sel, upd, f)
 
         def sweep(i, _):
             half(True)
             half(False)
-            faces(p_ref, 1.0, 1.0, 1.0)
+            fpre[...] = pp[...]
             return 0
 
         jax.lax.fori_loop(0, acc, sweep, 0)
 
         # gradient subtraction with central/one-sided selection
-        # (simulation.cpp:322-357), then per-component faces
-        pv = p_ref[...]
-        p_i = pv[1:-1, 1:-1, 1:-1]
+        # (simulation.cpp:322-357): out-of-bounds neighbor lanes from the
+        # rolls are discarded by the mask selects, so no ghost splicing
+        p_i = pp[...]
         i2h = jnp.asarray(inv_2h, dtype)
         i1h = jnp.asarray(inv_h, dtype)
 
@@ -135,9 +144,11 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
                 jnp.where(mask_p, (p_p - p_i) * i1h,
                           jnp.where(mask_m, (p_i - p_m) * i1h, zero)))
 
-        gx = grad(xp, xm, pv[1:-1, 1:-1, 2:], pv[1:-1, 1:-1, :-2])
-        gy = grad(yp, ym, pv[1:-1, 2:, 1:-1], pv[1:-1, :-2, 1:-1])
-        gz = grad(zp, zm, pv[2:, 1:-1, 1:-1], pv[:-2, 1:-1, 1:-1])
+        gx = grad(xp, xm, pltpu.roll(p_i, W - 1, 2), pltpu.roll(p_i, 1, 2))
+        gy = grad(yp, ym, pltpu.roll(p_i, H - 1, 1), pltpu.roll(p_i, 1, 1))
+        gz = grad(zp, zm,
+                  jnp.concatenate([p_i[1:], p_i[D - 1:]], axis=0),
+                  jnp.concatenate([p_i[:1], p_i[:D - 1]], axis=0))
         vxo_ref[1:-1, 1:-1, 1:-1] = vxo_ref[1:-1, 1:-1, 1:-1] - gx
         vyo_ref[1:-1, 1:-1, 1:-1] = vyo_ref[1:-1, 1:-1, 1:-1] - gy
         vzo_ref[1:-1, 1:-1, 1:-1] = vzo_ref[1:-1, 1:-1, 1:-1] - gz
@@ -166,8 +177,8 @@ def pallas_project_empty(vx, vy, vz, acc: int = 15,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         input_output_aliases={0: 0, 1: 1, 2: 2},
-        scratch_shapes=[pltpu.VMEM(shape, vx.dtype),
-                        pltpu.VMEM(shape, vx.dtype)],
+        scratch_shapes=[pltpu.VMEM(tuple(n - 2 for n in shape), vx.dtype)
+                        for _ in range(3)],
         interpret=interpret,
         **kwargs,
     )(vx, vy, vz)
