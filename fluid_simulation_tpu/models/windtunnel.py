@@ -94,6 +94,30 @@ def _apply_inlets(state: FluidState, params: SimParams) -> Tuple[FluidState, jnp
     return FluidState(vx, vy, vz, dens), buffer
 
 
+def _pad_bounds_tail(smp, bs, masks, p: SimParams):
+    """Rebuild padded fields + setBounds from advected interior samples —
+    fused kernel when applicable (kernels/bounds_pallas.py, bit-identical),
+    composable ops otherwise. ``smp`` is (len(bs), D, H, W) or (D, H, W)."""
+    from fluid_simulation_tpu.kernels.bounds_pallas import (
+        pallas_pad_bounds, pallas_pad_bounds_supported)
+    if smp.ndim == 3:
+        smp = smp[None]
+    if p.use_pallas and pallas_pad_bounds_supported(
+            p.padded_shape, len(bs), smp.dtype):
+        if p.empty_scene:
+            return pallas_pad_bounds(smp, bs, p.wall_mode)
+        keep = masks.keep_vel if bs[0] in (1, 2, 3) else masks.keep_scalar
+        return pallas_pad_bounds(smp, bs, p.wall_mode,
+                                 fluid_i=masks.fluid_i,
+                                 keep_i=keep[1:-1, 1:-1, 1:-1])
+    outs = []
+    for i, b in enumerate(bs):
+        s = smp[i] if p.empty_scene else smp[i] * masks.fluid_i
+        f = jnp.zeros(p.padded_shape, smp.dtype).at[1:-1, 1:-1, 1:-1].set(s)
+        outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
+    return tuple(outs)
+
+
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):
     """Projection with the whole-stage fused kernel when applicable (empty
     scene, rbgs, TPU — kernels/project_pallas.py, bit-identical to the
@@ -146,14 +170,9 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         xb, yb, zb = backtrace(
             vx[1:-1, 1:-1, 1:-1], vy[1:-1, 1:-1, 1:-1], vz[1:-1, 1:-1, 1:-1],
             p.dt, W, H, D, vx.dtype)
-        outs = []
-        for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
-            smp = trilinear_gather(prev, xb, yb, zb)
-            if not p.empty_scene:
-                smp = smp * masks.fluid_i
-            f = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(smp)
-            outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
-        vx, vy, vz = outs
+        smp = jnp.stack([trilinear_gather(prev, xb, yb, zb)
+                         for prev in (pvx, pvy, pvz)])
+        vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     elif p.mode == "split":
         # Operator-split advection (kernels/advect_pallas.py): three 1-D
         # lane-gather passes — the fastest TPU path; standard production
@@ -163,13 +182,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         stacked = jnp.stack([pvx, pvy, pvz])
         smp = advect_split_auto(stacked, vx, vy, vz, p.dt,
                                 use_pallas=p.use_pallas)
-        if not p.empty_scene:
-            smp = smp * masks.fluid_i
-        outs = []
-        for b in (1, 2, 3):
-            f = jnp.zeros_like(pvx).at[1:-1, 1:-1, 1:-1].set(smp[b - 1])
-            outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
-        vx, vy, vz = outs
+        vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     else:
         raise ValueError(f"unknown mode {p.mode!r}")
 
@@ -184,10 +197,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
         smp = advect_split_auto(buffer, vx, vy, vz, p.dt,
                                 use_pallas=p.use_pallas)
-        if not p.empty_scene:
-            smp = smp * masks.fluid_i
-        dens = jnp.zeros_like(buffer).at[1:-1, 1:-1, 1:-1].set(smp)
-        dens = set_bounds(0, dens, masks, p.wall_mode, p.empty_scene)
+        dens, = _pad_bounds_tail(smp, (0,), masks, p)
     else:
         dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode,
                       p.empty_scene)

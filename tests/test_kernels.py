@@ -166,3 +166,65 @@ def test_blocked_solve_block_sizes():
                                            empty_scene=True, blk=blk)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=f"blk={blk}")
+
+
+@pytest.mark.parametrize("bs,wall_mode,masked", [
+    ((1, 2, 3), "reference", False),
+    ((1, 2, 3), "reference", True),
+    ((1, 2, 3), "noslip", True),
+    ((0,), "reference", True),
+    ((0,), "reference", False),
+])
+def test_pad_bounds_matches_composable(bs, wall_mode, masked):
+    """Fused pad+setBounds epilogue == zeros.at[].set + set_bounds, for
+    velocity stacks and scalars, empty and obstacle scenes, both wall
+    modes (kernels/bounds_pallas.py)."""
+    from fluid_simulation_tpu.kernels.bounds_pallas import pallas_pad_bounds
+    from fluid_simulation_tpu.ops.bounds import set_bounds
+
+    _, _, masks = _setup()
+    rng = np.random.default_rng(11)
+    smp = jnp.asarray(rng.normal(size=(len(bs), D, H, W)).astype(np.float32))
+    kw = {}
+    if masked:
+        keep = masks.keep_vel if bs[0] in (1, 2, 3) else masks.keep_scalar
+        kw = dict(fluid_i=masks.fluid_i, keep_i=keep[1:-1, 1:-1, 1:-1])
+    got = pallas_pad_bounds(smp, bs, wall_mode, interpret=True, **kw)
+    for i, b in enumerate(bs):
+        s = smp[i] * masks.fluid_i if masked else smp[i]
+        f = jnp.zeros((D + 2, H + 2, W + 2), jnp.float32)
+        f = f.at[1:-1, 1:-1, 1:-1].set(s)
+        ref = set_bounds(b, f, masks, wall_mode, empty_scene=not masked)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref),
+                                      err_msg=f"b={b}")
+
+
+@pytest.mark.parametrize("b,kw,blkp", [
+    (0, {}, (4, 4, 1)),
+    (1, {}, (6, 6, 2)),
+    (2, dict(wall_mode="noslip"), (6, 6, 2)),
+    (3, dict(empty_scene=True), (6, 6, 2)),
+    (0, {}, (12, 6, 2)),        # single-block degenerate case
+    (1, dict(empty_scene=True), (4, 4, 1)),
+    (0, dict(acc=7), (8, 8, 3)),  # remainder pass (7 = 2*3 + 1)
+])
+def test_temporal_solve_matches_oracle(b, kw, blkp):
+    """Temporally-blocked multi-sweep streaming solve == rbgs oracle for
+    every halo/ghost interaction (kernels/linsolve_temporal.py)."""
+    from fluid_simulation_tpu.kernels.linsolve_temporal import (
+        pallas_rbgs_solve_temporal)
+
+    f, g, masks = _setup()
+    acc = kw.pop("acc", 6)
+    empty = kw.get("empty_scene", False)
+    blk, hb, ksw = blkp
+    ref = linear_solver(b, f, g, 1.0, 6.0, masks, acc=acc, solver="rbgs",
+                        wall_mode=kw.get("wall_mode", "reference"),
+                        empty_scene=empty)
+    keep = None if empty else (
+        masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
+    got = pallas_rbgs_solve_temporal(b, f, g, keep, 1.0, 6.0, acc=acc,
+                                     interpret=True, blk=blk, hb=hb,
+                                     ksw=ksw, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                  err_msg=f"blk={blk} hb={hb} ksw={ksw}")
