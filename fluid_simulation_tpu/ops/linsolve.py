@@ -74,6 +74,15 @@ def linear_solver(
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
                                      acc=acc, wall_mode=wall_mode,
                                      empty_scene=empty_scene, packed=True)
+        from fluid_simulation_tpu.kernels.linsolve_temporal import (
+            pallas_rbgs_solve_temporal, pallas_temporal_solve_supported)
+        if pallas_temporal_solve_supported(f.shape, f.dtype,
+                                           apply_keep=not empty_scene):
+            # grid too large for the VMEM-resident kernel: stream z-slabs,
+            # multiple sweeps per HBM pass (recompute-overlap halos)
+            return pallas_rbgs_solve_temporal(
+                b, f, prev, keep, float(a), float(c), acc=acc,
+                wall_mode=wall_mode, empty_scene=empty_scene)
         from fluid_simulation_tpu.kernels.linsolve_blocked import (
             pallas_blocked_solve_supported, pallas_rbgs_solve_blocked)
         if pallas_blocked_solve_supported(f.shape, f.dtype):
