@@ -1,0 +1,249 @@
+"""Packed-interior z-streaming RBGS solve (Pallas TPU) for >VMEM grids.
+
+The padded-layout streaming kernels (linsolve_blocked/_temporal) are
+VPU-bound, not HBM-bound: a 130-lane padded row tiles to 256 lanes (2x
+waste at 256x128x128; 384 for 258 at 256^3), and the measured 115 ns/cell-
+sweep sits ~3x above the HBM floor. This kernel streams the *interior* of
+the field — whose W is a lane-tile multiple at all the power-of-two grids —
+so every VPU op and every DMA moves exactly-tiled data.
+
+Ghost handling reuses the resident packed kernel's algebra
+(linsolve_pallas._make_packed_kernel): after any full sweep, every ghost
+face equals ``sign * fpre`` at the edge positions, where ``fpre`` is the
+sweep's *pre-keep* field (setBounds faces-then-keep, ops/bounds.py:54-61;
+the ghost shell's own keep is 1 by construction, masks.py). The streamed
+carry is therefore ``fpre`` itself: each sweep kernel rebuilds the
+post-keep base as ``fpre * keep`` in VMEM, splices ghost reads with
+``pltpu.roll`` + iota-edge ``where`` selects whose selected operand is
+``sign * fpre`` *at the same position* (no slicing, no 2-D arrays), and
+emits the new pre-keep field. Sweep 1 — the only sweep that must honour
+the caller's arbitrary padded ghost faces — runs through the proven padded
+1-sweep kernel (linsolve_blocked) in no-keep mode, which yields exactly the
+pre-keep field the packed sweeps carry forward.
+
+Cross-block z halo: the field enters as three clamped z-block windows and
+the red half is recomputed one row outside the block (the black half of
+edge rows needs red-updated neighbors), as in linsolve_blocked. Numerics
+are identical to the rbgs oracle and every other solve kernel: same update
+expression and operand order, red (1-based coord sum even) before black,
+faces-then-keep per sweep (reference linearSolver + setBounds,
+simulation.cpp:251-273/:183-246).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluid_simulation_tpu.kernels.linsolve_pallas import (
+    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes)
+
+
+def _pick_blk(shape, dtype, apply_keep: bool):
+    """Packed z-block choice, or None. ``shape`` is the padded shape.
+
+    Calibrated on the chip rather than modeled: blk = 16 runs at every
+    tested shape up to 256^3 while blk >= 24 faults at runtime even at
+    *smaller* footprints (a Mosaic limit on the ~blk+4-row temporaries, not
+    modelable as bytes), and 8 vs 16 measure within noise. The byte bound
+    below (22 rows-equivalents per block row) matches the largest working
+    configuration (256^3, blk=16, ~92 MB)."""
+    D, H, W = (n - 2 for n in shape)
+    it = _itemsize(dtype)
+    rb = _tiled_bytes((1, H, W), it)
+    for blk in (16, 8):
+        if blk > D:
+            continue
+        if 22 * blk * rb <= VMEM_BUDGET_BYTES:
+            return blk
+    return None
+
+
+def pallas_stream_solve_supported(shape, dtype=jnp.float32,
+                                  apply_keep: bool = True) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if len(shape) != 3 or min(shape) < 6:
+        return False
+    return _pick_blk(shape, dtype, apply_keep) is not None
+
+
+def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
+                       interior, blk: int, dtype, apply_keep: bool):
+    D, H, W = interior
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+
+    def body(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi, out, ext, pw):
+        k = pl.program_id(0)
+        # ext/pw row e <-> packed row  p = k*blk - 2 + e
+        pw[0:2] = plo[blk - 2:]
+        pw[2:blk + 2] = pmid[...]
+        pw[blk + 2:] = phi[:2]
+        # post-keep base of this sweep
+        if apply_keep:
+            ext[0:2] = pw[0:2] * klo[blk - 2:]
+            ext[2:blk + 2] = pw[2:blk + 2] * kmid[...]
+            ext[blk + 2:] = pw[blk + 2:] * khi[:2]
+        else:
+            ext[...] = pw[...]
+        rhs = jnp.concatenate([rlo[blk - 1:], rmid[...], rhi[:1]], axis=0)
+
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+        sxc = jnp.asarray(sx, dtype)
+        syc = jnp.asarray(sy, dtype)
+        szc = jnp.asarray(sz, dtype)
+
+        def halfsweep(lo_e, hi_e, want_red):
+            """Update ext rows [lo_e, hi_e] (packed-row masked)."""
+            n = hi_e - lo_e + 1
+            f = ext[lo_e:hi_e + 1]
+            pre = pw[lo_e:hi_e + 1]
+            iz = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 0)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 1)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 2)
+            gp = iz + (k * blk - 2 + lo_e)          # packed z row
+            # red = 1-based padded coord sum even: (gp+1)+(iy+1)+(ix+1)
+            parity = ((gp + iy + ix) % 2) == 1
+            if not want_red:
+                parity = jnp.logical_not(parity)
+            sel = parity & (gp >= 0) & (gp <= D - 1)
+            # ghost splices select sign * fpre at the edge position itself
+            xp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
+            xm = jnp.where(ix == 0, sxc * pre, pltpu.roll(f, 1, 2))
+            yp = jnp.where(iy == H - 1, syc * pre, pltpu.roll(f, H - 1, 1))
+            ym = jnp.where(iy == 0, syc * pre, pltpu.roll(f, 1, 1))
+            zp = jnp.where(gp == D - 1, szc * pre, ext[lo_e + 1:hi_e + 2])
+            zm = jnp.where(gp == 0, szc * pre, ext[lo_e - 1:hi_e])
+            s = (((xp + xm) + yp) + ym + zp) + zm
+            upd = (rhs[lo_e - 1:hi_e] + a_c * s) * crec
+            ext[lo_e:hi_e + 1] = jnp.where(sel, upd, f)
+
+        halfsweep(1, blk + 2, True)     # red on block rows +-1
+        halfsweep(2, blk + 1, False)    # black on block rows
+        out[...] = ext[2:blk + 2]       # the new pre-keep field
+
+    if apply_keep:
+        def kernel(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi,
+                   out, ext, pw):
+            body(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi,
+                 out, ext, pw)
+    else:
+        def kernel(plo, pmid, phi, rlo, rmid, rhi, out, ext, pw):
+            body(plo, pmid, phi, rlo, rmid, rhi, None, None, None,
+                 out, ext, pw)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk"))
+def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
+                             acc: int = 15, wall_mode: str = "reference",
+                             interpret: bool = False,
+                             empty_scene: bool = False,
+                             blk: int | None = None):
+    """Drop-in equivalent of ``pallas_rbgs_solve_blocked`` on packed-interior
+    streamed data. ``blk`` overrides the auto-sized z-block (tests).
+
+    Requires ``keep == 1`` on the ghost shell (true for every mask from
+    ``build_masks``; see the resident packed kernel's contract)."""
+    from fluid_simulation_tpu.kernels.linsolve_blocked import (
+        pallas_rbgs_solve_blocked)
+    shape = field.shape
+    dtype = field.dtype
+    apply_keep = not empty_scene
+    interior = tuple(n - 2 for n in shape)
+    D, H, W = interior
+    if blk is None:
+        blk = _pick_blk(shape, dtype, apply_keep)
+        if blk is None:
+            raise ValueError(f"no stream-solve block fits {shape}")
+    if blk < 2:
+        raise ValueError("blk must be >= 2")
+    nblk = -(-D // blk)
+
+    # sweep 1 on the padded layout (arbitrary caller ghosts), WITHOUT the
+    # keep multiply: its interior is exactly the pre-keep field fpre_1
+    pre1 = pallas_rbgs_solve_blocked(b, field, prev, None, a, c, acc=1,
+                                     wall_mode=wall_mode, interpret=interpret,
+                                     empty_scene=True)
+    fpre = pre1[1:-1, 1:-1, 1:-1]
+    rp = prev[1:-1, 1:-1, 1:-1]
+    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
+
+    if acc > 1:
+        kernel = _make_sweep_kernel(b, a, c, wall_mode, interior, blk,
+                                    dtype, apply_keep)
+        mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                           memory_space=pltpu.VMEM)
+        lo = pl.BlockSpec((blk, H, W),
+                          lambda k: (jnp.maximum(k - 1, 0), 0, 0),
+                          memory_space=pltpu.VMEM)
+        hi = pl.BlockSpec((blk, H, W),
+                          lambda k: (jnp.minimum(k + 1, nblk - 1), 0, 0),
+                          memory_space=pltpu.VMEM)
+        n_stream = 3 if apply_keep else 2
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_BUDGET_BYTES)
+        call = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
+            in_specs=[lo, mid, hi] * n_stream,
+            out_specs=mid,
+            scratch_shapes=[pltpu.VMEM((blk + 4, H, W), dtype)
+                            for _ in range(2)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=20 * int(np.prod(interior)),
+                bytes_accessed=(7 + 3 * (1 if apply_keep else 0))
+                * _tiled_bytes(interior, _itemsize(dtype)),
+                transcendentals=0),
+            **kwargs,
+        )
+
+        def sweep(f, _):
+            ops = [f, f, f, rp, rp, rp]
+            if apply_keep:
+                ops += [kp, kp, kp]
+            return call(*ops), None
+
+        fpre, _ = jax.lax.scan(sweep, fpre, None, length=acc - 1)
+
+    # rebuild the padded array from the final pre-keep field: interior is
+    # fpre * keep, faces are the signed mirrors setBounds would write, and
+    # ghost edges/corners pass through untouched (set_bounds never writes
+    # them)
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+    out = field
+    out = out.at[1:-1, 1:-1, 1:-1].set(fpre if empty_scene else fpre * kp)
+    out = out.at[1:-1, 1:-1, 0].set(sx * fpre[:, :, 0])
+    out = out.at[1:-1, 1:-1, -1].set(fpre[:, :, -1])     # x+ outflow copy
+    out = out.at[1:-1, 0, 1:-1].set(sy * fpre[:, 0, :])
+    out = out.at[1:-1, -1, 1:-1].set(sy * fpre[:, -1, :])
+    out = out.at[0, 1:-1, 1:-1].set(sz * fpre[0])
+    out = out.at[-1, 1:-1, 1:-1].set(sz * fpre[-1])
+    return out

@@ -74,6 +74,16 @@ def linear_solver(
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
                                      acc=acc, wall_mode=wall_mode,
                                      empty_scene=empty_scene, packed=True)
+        from fluid_simulation_tpu.kernels.linsolve_stream import (
+            pallas_rbgs_solve_stream, pallas_stream_solve_supported)
+        if pallas_stream_solve_supported(f.shape, f.dtype,
+                                         apply_keep=not empty_scene):
+            # grid too large for the VMEM-resident kernel: packed-interior
+            # z-streaming sweeps (exact-tile lanes; 3x the padded streaming
+            # kernels at 256x128x128-class shapes)
+            return pallas_rbgs_solve_stream(
+                b, f, prev, keep, float(a), float(c), acc=acc,
+                wall_mode=wall_mode, empty_scene=empty_scene)
         from fluid_simulation_tpu.kernels.linsolve_temporal import (
             pallas_rbgs_solve_temporal, pallas_temporal_solve_supported)
         if pallas_temporal_solve_supported(f.shape, f.dtype,

@@ -228,3 +228,31 @@ def test_temporal_solve_matches_oracle(b, kw, blkp):
                                      ksw=ksw, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                   err_msg=f"blk={blk} hb={hb} ksw={ksw}")
+
+
+@pytest.mark.parametrize("b,kw,blk", [
+    (0, {}, 2),
+    (1, {}, 4),
+    (2, dict(wall_mode="noslip"), 4),
+    (3, dict(empty_scene=True), 4),
+    (0, {}, 8),                      # whole-grid single block
+    (1, dict(empty_scene=True), 3),  # partial final block (8 % 3)
+])
+def test_stream_solve_matches_oracle(b, kw, blk):
+    """Packed-interior streaming solve == rbgs oracle across block sizes,
+    scenes and wall modes (kernels/linsolve_stream.py)."""
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        pallas_rbgs_solve_stream)
+
+    f, g, masks = _setup()
+    acc = kw.pop("acc", 6)
+    empty = kw.get("empty_scene", False)
+    ref = linear_solver(b, f, g, 1.0, 6.0, masks, acc=acc, solver="rbgs",
+                        wall_mode=kw.get("wall_mode", "reference"),
+                        empty_scene=empty)
+    keep = None if empty else (
+        masks.keep_vel if b in (1, 2, 3) else masks.keep_scalar)
+    got = pallas_rbgs_solve_stream(b, f, g, keep, 1.0, 6.0, acc=acc,
+                                   interpret=True, blk=blk, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                  err_msg=f"blk={blk}")
