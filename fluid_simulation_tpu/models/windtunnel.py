@@ -110,11 +110,31 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
         return pallas_pad_bounds(smp, bs, p.wall_mode,
                                  fluid_i=masks.fluid_i,
                                  keep_i=keep[1:-1, 1:-1, 1:-1])
+    # fallback (grids beyond the kernel's VMEM gate): build each padded
+    # field as nested concats — one fused pass per field — instead of the
+    # zeros.at[].set + set_bounds chain (XLA materialises a full-array copy
+    # per face write there). Identical values: interior iv*keep, faces are
+    # signed mirrors of the pre-keep edge, ghost edges/corners zero.
+    from fluid_simulation_tpu.kernels.bounds_pallas import _signs
+    dt = smp.dtype
+    keep_i = None
+    if not p.empty_scene:
+        keep = masks.keep_vel if bs[0] in (1, 2, 3) else masks.keep_scalar
+        keep_i = keep[1:-1, 1:-1, 1:-1].astype(dt)
     outs = []
     for i, b in enumerate(bs):
-        s = smp[i] if p.empty_scene else smp[i] * masks.fluid_i
-        f = jnp.zeros(p.padded_shape, smp.dtype).at[1:-1, 1:-1, 1:-1].set(s)
-        outs.append(set_bounds(b, f, masks, p.wall_mode, p.empty_scene))
+        iv = smp[i] if p.empty_scene else smp[i] * masks.fluid_i.astype(dt)
+        core = iv if keep_i is None else iv * keep_i
+        sx, sy, sz = (jnp.asarray(s, dt) for s in _signs(b, p.wall_mode))
+        lvl1 = jnp.concatenate(
+            [sx * iv[:, :, :1], core, iv[:, :, -1:]], axis=2)
+        zc = jnp.zeros((iv.shape[0], 1, 1), dt)
+        fy0 = jnp.concatenate([zc, sy * iv[:, :1, :], zc], axis=2)
+        fy1 = jnp.concatenate([zc, sy * iv[:, -1:, :], zc], axis=2)
+        lvl2 = jnp.concatenate([fy0, lvl1, fy1], axis=1)
+        fz0 = jnp.pad(sz * iv[:1], ((0, 0), (1, 1), (1, 1)))
+        fz1 = jnp.pad(sz * iv[-1:], ((0, 0), (1, 1), (1, 1)))
+        outs.append(jnp.concatenate([fz0, lvl2, fz1], axis=0))
     return tuple(outs)
 
 

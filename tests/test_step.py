@@ -118,3 +118,34 @@ def test_empty_scene_with_solids_rejected():
     # the safe direction still auto-derives: no solids -> upgraded to True
     wt = WindTunnel(PARAMS)
     assert wt.params.empty_scene
+
+
+def test_pad_bounds_tail_fallback_matches_set_bounds():
+    """The concat-built fallback of _pad_bounds_tail (used when the fused
+    kernel's VMEM gate fails, e.g. 256^3) equals zeros.at[].set + set_bounds
+    bitwise, for velocity stacks and scalars, empty and obstacle scenes."""
+    import numpy as np
+    from fluid_simulation_tpu.models.windtunnel import _pad_bounds_tail
+    from fluid_simulation_tpu.ops.bounds import set_bounds
+    from fluid_simulation_tpu.scene.masks import build_masks
+    from fluid_simulation_tpu.scene.primitives import add_sphere, empty_obstacles
+
+    W, H, D = 16, 8, 8
+    obs = add_sphere(empty_obstacles(W, H, D), 5, 4, 4, 2.0)
+    masks = build_masks(jnp.asarray(obs))
+    rng = np.random.default_rng(5)
+    for bs, empty, wall in (((1, 2, 3), False, "reference"),
+                            ((1, 2, 3), True, "noslip"),
+                            ((0,), False, "reference"),
+                            ((0,), True, "reference")):
+        p = PARAMS.replace(empty_scene=empty, wall_mode=wall)
+        smp = jnp.asarray(
+            rng.normal(size=(len(bs), D, H, W)).astype(np.float32))
+        got = _pad_bounds_tail(smp, bs, masks, p)
+        for i, b in enumerate(bs):
+            s = smp[i] if empty else smp[i] * masks.fluid_i
+            f = jnp.zeros((D + 2, H + 2, W + 2), jnp.float32)
+            f = f.at[1:-1, 1:-1, 1:-1].set(s)
+            ref = set_bounds(b, f, masks, wall, empty_scene=empty)
+            np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref),
+                                          err_msg=f"bs={bs} b={b}")
