@@ -152,6 +152,53 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
     return kernel
 
 
+def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
+                           blk, interpret):
+    """Build the per-sweep pallas_call: ``call(f, f, f, rp, rp, rp[, kp, kp,
+    kp])`` maps the pre-keep field to the next sweep's pre-keep field.
+    Shared by the solve wrapper below and the streamed projection
+    (kernels/project_stream.py)."""
+    D, H, W = interior
+    nblk = -(-D // blk)
+    kernel = _make_sweep_kernel(b, a, c, wall_mode, interior, blk,
+                                dtype, apply_keep)
+    # lo/hi halo streams use hb-row blocks (hb | blk) so each block re-reads
+    # only ~2*hb halo rows instead of 2*blk (5 vs 7 row-units of HBM per
+    # sweep at blk=16)
+    hb = min(8, blk)
+    r = blk // hb
+    nhb = -(-D // hb)
+    mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lo = pl.BlockSpec((hb, H, W),
+                      lambda k: (jnp.maximum(k * r - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((hb, H, W),
+                      lambda k: (jnp.minimum(k * r + r, nhb - 1), 0, 0),
+                      memory_space=pltpu.VMEM)
+    n_stream = 3 if apply_keep else 2
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
+        in_specs=[lo, mid, hi] * n_stream,
+        out_specs=mid,
+        scratch_shapes=[pltpu.VMEM((blk + 4, H, W), dtype)
+                        for _ in range(2)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * int(np.prod(interior)),
+            bytes_accessed=(7 + 3 * (1 if apply_keep else 0))
+            * _tiled_bytes(interior, _itemsize(dtype)),
+            transcendentals=0),
+        **kwargs,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk"))
 def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
@@ -189,43 +236,8 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
     kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
 
     if acc > 1:
-        kernel = _make_sweep_kernel(b, a, c, wall_mode, interior, blk,
-                                    dtype, apply_keep)
-        # lo/hi halo streams use hb-row blocks (hb | blk) so each block
-        # re-reads only ~2*hb halo rows instead of 2*blk (5 vs 7 row-units
-        # of HBM per sweep at blk=16)
-        hb = min(8, blk)
-        r = blk // hb
-        nhb = -(-D // hb)
-        mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
-                           memory_space=pltpu.VMEM)
-        lo = pl.BlockSpec((hb, H, W),
-                          lambda k: (jnp.maximum(k * r - 1, 0), 0, 0),
-                          memory_space=pltpu.VMEM)
-        hi = pl.BlockSpec((hb, H, W),
-                          lambda k: (jnp.minimum(k * r + r, nhb - 1), 0, 0),
-                          memory_space=pltpu.VMEM)
-        n_stream = 3 if apply_keep else 2
-        kwargs = {}
-        if not interpret:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_BUDGET_BYTES)
-        call = pl.pallas_call(
-            kernel,
-            grid=(nblk,),
-            out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
-            in_specs=[lo, mid, hi] * n_stream,
-            out_specs=mid,
-            scratch_shapes=[pltpu.VMEM((blk + 4, H, W), dtype)
-                            for _ in range(2)],
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=20 * int(np.prod(interior)),
-                bytes_accessed=(7 + 3 * (1 if apply_keep else 0))
-                * _tiled_bytes(interior, _itemsize(dtype)),
-                transcendentals=0),
-            **kwargs,
-        )
+        call = make_packed_sweep_call(b, a, c, wall_mode, interior, dtype,
+                                      apply_keep, blk, interpret)
 
         def sweep(f, _):
             ops = [f, f, f, rp, rp, rp]

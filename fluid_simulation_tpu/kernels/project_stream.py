@@ -1,0 +1,212 @@
+"""z-streamed pressure projection for >VMEM empty scenes (Pallas TPU).
+
+At 256^3 the whole-stage fused projection (kernels/project_pallas.py) does
+not fit VMEM and the composable path's XLA div/grad glue costs ~12 ms per
+projection on top of the ~13 ms streamed Poisson solve. This module streams
+the two single-pass stages as z-blocked kernels and reuses the packed
+per-sweep solve kernel for the Poisson loop:
+
+  1. divergence kernel: padded velocity windows in, *packed* rhs out —
+     already scaled by -0.5h (the solve never reads rhs ghost faces, so the
+     reference's setBounds(0, div) ghost writes are dead here, as in
+     project_pallas);
+  2. Poisson: ``acc`` packed streaming sweeps
+     (linsolve_stream.make_packed_sweep_call, b=0, a=1, c=6, no keep).
+     p starts at zero everywhere, so every sweep runs packed — the ghost
+     algebra's ``sign * fpre`` splices are exactly zero before sweep 1,
+     matching p's zero init (same argument as project_pallas);
+  3. gradient kernel: packed p windows + packed velocities in, packed
+     projected velocities out (central/one-sided selection per
+     simulation.cpp:322-357 — out-of-bounds lanes are discarded by the mask
+     selects).
+
+The caller rebuilds padded fields + setBounds faces with the fused
+pad+bounds epilogue / concat tail (models/windtunnel._pad_bounds_tail),
+which equals the composable path's final set_bounds. Empty scenes only
+(the in-bounds masks come from iotas; obstacle scenes use the composable
+path). Numerics match ops/project.py::project bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluid_simulation_tpu.kernels.linsolve_pallas import (
+    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes)
+from fluid_simulation_tpu.kernels.linsolve_stream import (
+    make_packed_sweep_call, pallas_stream_solve_supported)
+from fluid_simulation_tpu.ops.project import grid_h
+
+BLK = 16   # z-block of the div/grad kernels (same envelope as the solve)
+HB = 8     # halo-stream block
+
+
+def pallas_project_stream_supported(shape, dtype=jnp.float32) -> bool:
+    return pallas_stream_solve_supported(shape, dtype, apply_keep=False)
+
+
+def _div_kernel_maker(shape, blk, dtype):
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    h = grid_h(W, H, D)
+    neg_half_h = float(np.float32(-0.5) * np.float32(h))
+
+    def kernel(vxm, vxh, vym, vyh, vzm, vzh, out):
+        k = pl.program_id(0)
+        # window rows = padded rows [zb, zb+blk+2); out packed rows
+        # [zb, zb+blk)  (packed r <-> padded q = r+1)
+        wx = jnp.concatenate([vxm[...], vxh[:2]], axis=0)
+        wy = jnp.concatenate([vym[...], vyh[:2]], axis=0)
+        wz = jnp.concatenate([vzm[...], vzh[:2]], axis=0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 2) + 1
+        iy = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 1) + 1
+        q = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 0) + k * blk + 1
+        xp, xm = ix + 1 <= W, ix - 1 >= 1
+        yp, ym = iy + 1 <= H, iy - 1 >= 1
+        zp, zm = q + 1 <= D, q - 1 >= 1
+        zero = jnp.zeros((blk, H, W), dtype)
+        # padded row q at window index q - zb = local+1
+        c = wx[1:blk + 1]
+        div_val = (
+            jnp.where(xp, c[:, 1:-1, 2:], zero)
+            - jnp.where(xm, c[:, 1:-1, :-2], zero)
+            + jnp.where(yp, wy[1:blk + 1][:, 2:, 1:-1], zero)
+            - jnp.where(ym, wy[1:blk + 1][:, :-2, 1:-1], zero)
+            + jnp.where(zp, wz[2:blk + 2][:, 1:-1, 1:-1], zero)
+            - jnp.where(zm, wz[0:blk][:, 1:-1, 1:-1], zero))
+        out[...] = jnp.asarray(neg_half_h, dtype) * div_val
+
+    return kernel
+
+
+def _grad_kernel_maker(shape, blk, hb, dtype):
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    h = grid_h(W, H, D)
+    inv_h = float(np.float32(1.0) / np.float32(h))
+    inv_2h = float(np.float32(1.0) / (np.float32(2.0) * np.float32(h)))
+
+    def kernel(plo, pmid, phi, ox, oy, oz):
+        k = pl.program_id(0)
+        # p window rows = packed rows [zb-1, zb+blk+1)
+        pw = jnp.concatenate([plo[hb - 1:], pmid[...], phi[:1]], axis=0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 2)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 1)
+        r = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 0) + k * blk
+        xp, xm = ix < W - 1, ix > 0
+        yp, ym = iy < H - 1, iy > 0
+        zp, zm = r < D - 1, r > 0
+        zero = jnp.zeros((blk, H, W), dtype)
+        i2h = jnp.asarray(inv_2h, dtype)
+        i1h = jnp.asarray(inv_h, dtype)
+        p_i = pw[1:blk + 1]
+
+        def grad(mask_p, mask_m, p_p, p_m):
+            return jnp.where(
+                mask_p & mask_m, (p_p - p_m) * i2h,
+                jnp.where(mask_p, (p_p - p_i) * i1h,
+                          jnp.where(mask_m, (p_i - p_m) * i1h, zero)))
+
+        # gradients only — the caller subtracts them from the velocities in
+        # XLA-land, on materialised kernel outputs, so neither side of the
+        # bitwise-parity contract can FMA-contract the mul into the subtract
+        ox[...] = grad(xp, xm, pltpu.roll(p_i, W - 1, 2),
+                       pltpu.roll(p_i, 1, 2))
+        oy[...] = grad(yp, ym, pltpu.roll(p_i, H - 1, 1),
+                       pltpu.roll(p_i, 1, 1))
+        oz[...] = grad(zp, zm, pw[2:blk + 2], pw[0:blk])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("acc", "wall_mode", "interpret",
+                                             "blk"))
+def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
+                                 wall_mode: str = "reference",
+                                 interpret: bool = False,
+                                 blk: int = BLK):
+    """Projection for >VMEM empty scenes; returns the *packed* projected
+    velocities ``(3, D, H, W)`` — the caller applies the pad+bounds tail.
+    Bitwise-equal to ``ops.project.project(..., empty_scene=True)``'s
+    interior."""
+    shape = vx.shape
+    dtype = vx.dtype
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    interior = (D, H, W)
+    nblk = -(-D // blk)
+    hb = min(HB, blk)
+    if blk % hb:
+        raise ValueError(f"blk={blk} must be a multiple of hb={hb}")
+    r_ = blk // hb
+    nhb = -(-D // hb)
+    nhb_pad = -(-D2 // hb)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+
+    # ---- stage 1: divergence -> packed rhs
+    pmid = pl.BlockSpec((blk,) + shape[1:], lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    phi = pl.BlockSpec((hb,) + shape[1:],
+                       lambda k: (jnp.minimum(k * r_ + r_, nhb_pad - 1),
+                                  0, 0),
+                       memory_space=pltpu.VMEM)
+    rp = pl.pallas_call(
+        _div_kernel_maker(shape, blk, dtype),
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct(interior, dtype),
+        in_specs=[pmid, phi] * 3,
+        out_specs=pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * int(np.prod(interior)),
+            bytes_accessed=4 * _tiled_bytes(shape, _itemsize(dtype)),
+            transcendentals=0),
+        **kwargs,
+    )(vx, vx, vy, vy, vz, vz)
+
+    # ---- stage 2: Poisson, all sweeps packed (p == 0 before sweep 1)
+    sweep_call = make_packed_sweep_call(0, 1.0, 6.0, wall_mode, interior,
+                                        dtype, False, blk, interpret)
+
+    def sweep(f, _):
+        return sweep_call(f, f, f, rp, rp, rp), None
+
+    fpre, _ = jax.lax.scan(sweep, jnp.zeros(interior, dtype), None,
+                           length=acc)
+
+    # ---- stage 3: gradients on packed data, subtraction in XLA-land
+    kmid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    klo = pl.BlockSpec((hb, H, W),
+                       lambda k: (jnp.maximum(k * r_ - 1, 0), 0, 0),
+                       memory_space=pltpu.VMEM)
+    khi = pl.BlockSpec((hb, H, W),
+                       lambda k: (jnp.minimum(k * r_ + r_, nhb - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    gx, gy, gz = pl.pallas_call(
+        _grad_kernel_maker(shape, blk, hb, dtype),
+        grid=(nblk,),
+        out_shape=[jax.ShapeDtypeStruct(interior, dtype)] * 3,
+        in_specs=[klo, kmid, khi],
+        out_specs=[kmid] * 3,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * int(np.prod(interior)),
+            bytes_accessed=5 * _tiled_bytes(interior, _itemsize(dtype)),
+            transcendentals=0),
+        **kwargs,
+    )(fpre, fpre, fpre)
+    return jnp.stack([vx[1:-1, 1:-1, 1:-1] - gx,
+                      vy[1:-1, 1:-1, 1:-1] - gy,
+                      vz[1:-1, 1:-1, 1:-1] - gz])

@@ -148,6 +148,13 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
         if pallas_project_supported(vx.shape, vx.dtype):
             return pallas_project_empty(vx, vy, vz, acc=p.acc,
                                         wall_mode=p.wall_mode)
+        from fluid_simulation_tpu.kernels.project_stream import (
+            pallas_project_stream_packed, pallas_project_stream_supported)
+        if pallas_project_stream_supported(vx.shape, vx.dtype):
+            # >VMEM grids: z-streamed div -> packed Poisson sweeps -> grad
+            smp = pallas_project_stream_packed(vx, vy, vz, acc=p.acc,
+                                               wall_mode=p.wall_mode)
+            return _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     out = project(vx, vy, vz, masks, acc=p.acc, solver=p.solver,
                   wall_mode=p.wall_mode, use_pallas=p.use_pallas,
                   empty_scene=p.empty_scene)

@@ -256,3 +256,47 @@ def test_stream_solve_matches_oracle(b, kw, blk):
                                    interpret=True, blk=blk, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                   err_msg=f"blk={blk}")
+
+
+@pytest.mark.parametrize("wall_mode,blk", [
+    ("reference", 8), ("noslip", 8), ("reference", 4)])
+def test_project_stream_matches_composable(wall_mode, blk):
+    """z-streamed projection (div kernel -> packed sweeps -> grad kernel +
+    pad-bounds tail) == the composable empty-scene project, bitwise
+    (kernels/project_stream.py)."""
+    from fluid_simulation_tpu.kernels.project_stream import (
+        pallas_project_stream_packed)
+    from fluid_simulation_tpu.models.windtunnel import _pad_bounds_tail
+    from fluid_simulation_tpu.config import SimParams
+    from fluid_simulation_tpu.ops.project import project
+    from fluid_simulation_tpu.scene.primitives import empty_obstacles
+
+    masks = build_masks(jnp.asarray(empty_obstacles(W, H, D)))
+    rng = np.random.default_rng(13)
+    shp = (D + 2, H + 2, W + 2)
+
+    def mkfield():
+        # zero the ghost shell except faces, as in any real run (the
+        # composable path passes ghost edges through; the tail zeroes them)
+        a = rng.normal(size=shp).astype(np.float32)
+        m = np.zeros(shp, np.float32)
+        m[1:-1, 1:-1, :] = 1.0
+        m[1:-1, :, 1:-1] = 1.0
+        m[:, 1:-1, 1:-1] = 1.0
+        return jnp.asarray(a * m)
+
+    vx, vy, vz = mkfield(), mkfield(), mkfield()
+    ref = project(vx, vy, vz, masks, acc=5, solver="rbgs",
+                  wall_mode=wall_mode, use_pallas=False, empty_scene=True)
+    smp = pallas_project_stream_packed(vx, vy, vz, acc=5,
+                                       wall_mode=wall_mode,
+                                       interpret=True, blk=blk)
+    p = SimParams(width=W, height=H, depth=D, empty_scene=True,
+                  wall_mode=wall_mode)
+    got = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
+    for i in range(3):
+        # interpreter-vs-XLA-CPU FMA contraction can differ by 1 ulp on the
+        # gradient subtraction (same allowance as the fused projection test)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[i]),
+                                   rtol=0, atol=1e-6,
+                                   err_msg=f"component {i} blk={blk}")
