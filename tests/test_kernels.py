@@ -300,3 +300,21 @@ def test_project_stream_matches_composable(wall_mode, blk):
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[i]),
                                    rtol=0, atol=1e-6,
                                    err_msg=f"component {i} blk={blk}")
+
+
+def test_stream_solve_bfloat16():
+    """bf16 accepted by the packed streaming solve (interpret): finite and
+    close to the f32 oracle at bf16 resolution."""
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        pallas_rbgs_solve_stream)
+
+    f, g, masks = _setup()
+    ref = linear_solver(0, f, g, 1.0, 6.0, masks, acc=4, solver="rbgs")
+    got = pallas_rbgs_solve_stream(
+        0, f.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+        masks.keep_scalar.astype(jnp.bfloat16), 1.0, 6.0, acc=4,
+        interpret=True, blk=4)
+    assert got.dtype == jnp.bfloat16
+    a = np.asarray(got, np.float32)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, np.asarray(ref), rtol=0.1, atol=0.05)
