@@ -51,6 +51,10 @@ def main():
         arguments, not closure captures (captured device arrays embed as
         full-size program constants)."""
         wt = WindTunnel(params)
+        # WindTunnel upgrades empty_scene for obstacle-free scenes — time
+        # the params a user's run actually executes, not the conservative
+        # input ones (the empty-scene static specialisations are real)
+        params = wt.params
         masks = wt.masks
 
         def run_n(length):
