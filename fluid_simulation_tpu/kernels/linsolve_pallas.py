@@ -36,6 +36,17 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET_BYTES = 96 * 1024 * 1024
 
 
+def _roll(x, shift: int, axis: int):
+    """pltpu.roll with a bf16 workaround: Mosaic's dynamic_rotate supports
+    only 32-bit data ("Rotate with non-32-bit data" compile error on chip).
+    A roll is a pure permutation, and bf16->f32->bf16 is value-exact, so the
+    upcast changes no bits."""
+    if x.dtype == jnp.bfloat16:
+        return pltpu.roll(x.astype(jnp.float32), shift, axis).astype(
+            jnp.bfloat16)
+    return pltpu.roll(x, shift, axis)
+
+
 def _tiled_bytes(shape, itemsize=4):
     d = list(shape)
     d[-1] = -(-d[-1] // 128) * 128
@@ -202,10 +213,10 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
             f = fp[...]
             pre = fpre[...]
             # pltpu.roll takes non-negative shifts: roll by size-1 == -1
-            xp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
-            xm = jnp.where(ix == 0, sxc * pre, pltpu.roll(f, 1, 2))
-            yp = jnp.where(iy == H - 1, syc * pre, pltpu.roll(f, H - 1, 1))
-            ym = jnp.where(iy == 0, syc * pre, pltpu.roll(f, 1, 1))
+            xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
+            xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
+            yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
+            ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
             zp = jnp.concatenate([f[1:], szc * pre[D - 1:]], axis=0)
             zm = jnp.concatenate([szc * pre[:1], f[:D - 1]], axis=0)
             s = (((xp + xm) + yp) + ym + zp) + zm

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluid_simulation_tpu.kernels.linsolve_pallas import (
-    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes)
+    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes, _roll)
 
 
 def _pick_blk(shape, dtype, apply_keep: bool):
@@ -126,10 +126,10 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
                 parity = jnp.logical_not(parity)
             sel = parity & (gp >= 0) & (gp <= D - 1)
             # ghost splices select sign * fpre at the edge position itself
-            xp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
-            xm = jnp.where(ix == 0, sxc * pre, pltpu.roll(f, 1, 2))
-            yp = jnp.where(iy == H - 1, syc * pre, pltpu.roll(f, H - 1, 1))
-            ym = jnp.where(iy == 0, syc * pre, pltpu.roll(f, 1, 1))
+            xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
+            xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
+            yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
+            ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
             zp = jnp.where(gp == D - 1, szc * pre, ext[lo_e + 1:hi_e + 2])
             zm = jnp.where(gp == 0, szc * pre, ext[lo_e - 1:hi_e])
             s = (((xp + xm) + yp) + ym + zp) + zm

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluid_simulation_tpu.kernels.linsolve_pallas import (
-    VMEM_BUDGET_BYTES, _tiled_bytes)
+    VMEM_BUDGET_BYTES, _tiled_bytes, _roll)
 from fluid_simulation_tpu.ops.project import grid_h
 
 
@@ -112,10 +112,10 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         def half(take_red):
             f = pp[...]
             pre = fpre[...]
-            nxp = jnp.where(ix == W - 1, pre, pltpu.roll(f, W - 1, 2))
-            nxm = jnp.where(ix == 0, pre, pltpu.roll(f, 1, 2))
-            nyp = jnp.where(iy == H - 1, pre, pltpu.roll(f, H - 1, 1))
-            nym = jnp.where(iy == 0, pre, pltpu.roll(f, 1, 1))
+            nxp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
+            nxm = jnp.where(ix == 0, pre, _roll(f, 1, 2))
+            nyp = jnp.where(iy == H - 1, pre, _roll(f, H - 1, 1))
+            nym = jnp.where(iy == 0, pre, _roll(f, 1, 1))
             nzp = jnp.concatenate([f[1:], pre[D - 1:]], axis=0)
             nzm = jnp.concatenate([pre[:1], f[:D - 1]], axis=0)
             s = (((nxp + nxm) + nyp) + nym + nzp) + nzm
@@ -144,8 +144,8 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
                 jnp.where(mask_p, (p_p - p_i) * i1h,
                           jnp.where(mask_m, (p_i - p_m) * i1h, zero)))
 
-        gx = grad(xp, xm, pltpu.roll(p_i, W - 1, 2), pltpu.roll(p_i, 1, 2))
-        gy = grad(yp, ym, pltpu.roll(p_i, H - 1, 1), pltpu.roll(p_i, 1, 1))
+        gx = grad(xp, xm, _roll(p_i, W - 1, 2), _roll(p_i, 1, 2))
+        gy = grad(yp, ym, _roll(p_i, H - 1, 1), _roll(p_i, 1, 1))
         gz = grad(zp, zm,
                   jnp.concatenate([p_i[1:], p_i[D - 1:]], axis=0),
                   jnp.concatenate([p_i[:1], p_i[:D - 1]], axis=0))

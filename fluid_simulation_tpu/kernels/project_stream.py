@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fluid_simulation_tpu.kernels.linsolve_pallas import (
-    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes)
+    VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes, _roll)
 from fluid_simulation_tpu.kernels.linsolve_stream import (
     make_packed_sweep_call, pallas_stream_solve_supported)
 from fluid_simulation_tpu.ops.project import grid_h
@@ -116,10 +116,10 @@ def _grad_kernel_maker(shape, blk, hb, dtype):
         # gradients only — the caller subtracts them from the velocities in
         # XLA-land, on materialised kernel outputs, so neither side of the
         # bitwise-parity contract can FMA-contract the mul into the subtract
-        ox[...] = grad(xp, xm, pltpu.roll(p_i, W - 1, 2),
-                       pltpu.roll(p_i, 1, 2))
-        oy[...] = grad(yp, ym, pltpu.roll(p_i, H - 1, 1),
-                       pltpu.roll(p_i, 1, 1))
+        ox[...] = grad(xp, xm, _roll(p_i, W - 1, 2),
+                       _roll(p_i, 1, 2))
+        oy[...] = grad(yp, ym, _roll(p_i, H - 1, 1),
+                       _roll(p_i, 1, 1))
         oz[...] = grad(zp, zm, pw[2:blk + 2], pw[0:blk])
 
     return kernel
