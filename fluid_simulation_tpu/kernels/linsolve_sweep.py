@@ -179,3 +179,128 @@ def pallas_rbgs_sweep(b: int, field, prev, keep, bp_lo, bp_hi,
             transcendentals=0),
         **kwargs,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Packed-interior variant: the local slab travels as (Dl, H, W) exact-tile
+# data plus explicit ghost/halo planes, eliminating the padded layout's
+# 2x lane waste (130 -> 256-lane tiles at the flagship W). Same per-sweep
+# protocol and numerics as pallas_rbgs_sweep; the ghost algebra is the
+# resident packed kernel's (linsolve_pallas._make_packed_kernel): x/y ghost
+# planes carry sign * pre-keep edge values, spliced by roll + iota-edge
+# selects; z neighbors come from the carried halo planes (red) and the
+# black-phase planes (black).
+
+def pallas_packed_sweep_supported(local_shape, dtype=jnp.float32) -> bool:
+    """Same gates as the padded kernel; the packed footprint is smaller."""
+    return pallas_sweep_supported(local_shape, dtype)
+
+
+def _make_packed_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
+                              interior, dtype):
+    from fluid_simulation_tpu.kernels.linsolve_pallas import _roll
+    Dl, H, W = interior
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+
+    def kernel(fk_ref, rp_ref, kp_ref, gx0, gx1, gy0, gy1,
+               znlo, znhi, bplo, bphi,
+               out, ogx0, ogx1, ogy0, ogy1, ogz0, ogz1, f1):
+        iz = jax.lax.broadcasted_iota(jnp.int32, (Dl, H, W), 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, (Dl, H, W), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (Dl, H, W), 2)
+        # red = 1-based global coord sum even == local parity (Dl even)
+        red = ((iz + iy + ix) % 2) == 1
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+        rp = rp_ref[...]
+        gx0b = gx0[...][..., None]          # (Dl, H, 1)
+        gx1b = gx1[...][..., None]
+        gy0b = gy0[...][:, None, :]         # (Dl, 1, W)
+        gy1b = gy1[...][:, None, :]
+
+        def halfsweep(fv, lo_plane, hi_plane, sel):
+            xp = jnp.where(ix == W - 1, gx1b, _roll(fv, W - 1, 2))
+            xm = jnp.where(ix == 0, gx0b, _roll(fv, 1, 2))
+            yp = jnp.where(iy == H - 1, gy1b, _roll(fv, H - 1, 1))
+            ym = jnp.where(iy == 0, gy0b, _roll(fv, 1, 1))
+            zp = jnp.where(iz == Dl - 1, hi_plane[None],
+                           jnp.concatenate([fv[1:], fv[-1:]], axis=0))
+            zm = jnp.where(iz == 0, lo_plane[None],
+                           jnp.concatenate([fv[:1], fv[:-1]], axis=0))
+            s = (((xp + xm) + yp) + ym + zp) + zm
+            upd = (rp + a_c * s) * crec
+            return jnp.where(sel, upd, fv)
+
+        f1[...] = halfsweep(fk_ref[...], znlo[...], znhi[...], red)
+        f2 = halfsweep(f1[...], bplo[...], bphi[...], jnp.logical_not(red))
+        # next sweep's ghost planes: sign * this sweep's pre-keep edges
+        ogx0[...] = jnp.asarray(sx, dtype) * f2[:, :, 0]
+        ogx1[...] = f2[:, :, W - 1]          # x+ outflow copy
+        ogy0[...] = jnp.asarray(sy, dtype) * f2[:, 0, :]
+        ogy1[...] = jnp.asarray(sy, dtype) * f2[:, H - 1, :]
+        ogz0[...] = jnp.asarray(sz, dtype) * f2[0]
+        ogz1[...] = jnp.asarray(sz, dtype) * f2[Dl - 1]
+        out[...] = f2 * kp_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("b", "a", "c", "wall_mode",
+                                             "interpret"))
+def pallas_rbgs_sweep_packed(b: int, fk, rp, kp, gx0, gx1, gy0, gy1,
+                             znlo, znhi, bp_lo, bp_hi,
+                             a: float, c: float,
+                             wall_mode: str = "reference",
+                             interpret: bool = False):
+    """One fused red+black sweep on a packed local slab.
+
+    Inputs: ``fk`` (Dl, H, W) post-keep field, ``rp``/``kp`` rhs and keep
+    interiors, ``gx0/gx1/gy0/gy1`` the x/y ghost-plane values (sign *
+    pre-keep edges from the previous sweep, or the initial padded ghost
+    faces), ``znlo/znhi`` the z halo planes the red half reads at local
+    rows 0/Dl-1 (neighbor post-bounds planes or global mirrors), and
+    ``bp_lo/bp_hi`` the black-phase planes (as in pallas_rbgs_sweep) — all
+    planes (H, W)/(Dl, H)/(Dl, W) interiors.
+
+    Returns ``(fk', gx0', gx1', gy0', gy1', gz0', gz1')`` where gz planes
+    are the global z mirror values ``sz * prekeep`` of the edge rows.
+    """
+    interior = fk.shape
+    Dl, H, W = interior
+    dtype = fk.dtype
+    kernel = _make_packed_sweep_kernel(b, a, c, wall_mode, interior, dtype)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    out_shape = [
+        jax.ShapeDtypeStruct(interior, dtype),
+        jax.ShapeDtypeStruct((Dl, H), dtype),
+        jax.ShapeDtypeStruct((Dl, H), dtype),
+        jax.ShapeDtypeStruct((Dl, W), dtype),
+        jax.ShapeDtypeStruct((Dl, W), dtype),
+        jax.ShapeDtypeStruct((H, W), dtype),
+        jax.ShapeDtypeStruct((H, W), dtype),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        scratch_shapes=[pltpu.VMEM(interior, dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * int(np.prod(interior)),
+            bytes_accessed=4 * _tiled_bytes(interior,
+                                            2 if dtype == jnp.bfloat16 else 4),
+            transcendentals=0),
+        **kwargs,
+    )(fk, rp, kp, gx0, gx1, gy0, gy1, znlo, znhi, bp_lo, bp_hi)

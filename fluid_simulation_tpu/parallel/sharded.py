@@ -189,36 +189,107 @@ def _black_phase_planes(f, prev, a_c, crec, n, i):
     return bp_lo, bp_hi
 
 
+def _black_phase_planes_pk(fk, prev, znlo, znhi, a_c, crec, n, i):
+    """_black_phase_planes on the packed carry: the slab travels as
+    ``fk`` (Dl, H, W) plus the padded z halo planes ``znlo``/``znhi``
+    (padded rows 0/Dl+1). Same values, same operand order."""
+    from_prev2, from_next2 = _ppermute_updown(fk[-2], fk[1], n)
+    H2, W2 = znlo.shape
+    yy = jnp.arange(1, H2 - 1).reshape(-1, 1)
+    xx = jnp.arange(1, W2 - 1).reshape(1, -1)
+    red_lo = ((yy + xx) % 2) == 0
+    red_hi = ((1 + yy + xx) % 2) == 0
+
+    def plane_upd(plane, prev_plane, zp_i, zm_i):
+        p = plane
+        s = (
+            (((p[1:-1, 2:] + p[1:-1, :-2]) + p[2:, 1:-1]) + p[:-2, 1:-1])
+            + zp_i
+        ) + zm_i
+        return (prev_plane[1:-1, 1:-1] + a_c * s) * crec
+
+    upd_lo = plane_upd(znlo, prev[0], fk[0], from_prev2)
+    upd_hi = plane_upd(znhi, prev[-1], from_next2, fk[-1])
+    bp_lo = znlo.at[1:-1, 1:-1].set(
+        jnp.where(red_lo, upd_lo, znlo[1:-1, 1:-1]))
+    bp_hi = znhi.at[1:-1, 1:-1].set(
+        jnp.where(red_hi, upd_hi, znhi[1:-1, 1:-1]))
+    bp_lo = jnp.where(i == 0, znlo, bp_lo)
+    bp_hi = jnp.where(i == n - 1, znhi, bp_hi)
+    return bp_lo, bp_hi
+
+
 def _solve_pallas(b, f, prev, a, c, keep, acc, wall_mode, n, i):
-    """Sharded rbgs solve with the per-sweep fused Pallas kernel
-    (kernels/linsolve_sweep.py) doing red+black+faces+keep on the local slab;
-    jnp computes the one-plane black-phase halos and the two ppermute
-    exchanges per sweep (same 4 ICI planes/sweep as the jnp path).
-    Bit-identical to the jnp sharded path."""
+    """Sharded rbgs solve with the per-sweep fused *packed* Pallas kernel
+    (kernels/linsolve_sweep.py::pallas_rbgs_sweep_packed): the slab travels
+    as exact-tile (Dl, H, W) data plus explicit ghost/halo planes (the
+    padded layout's 130-lane rows tile to 256 — 2x VPU waste). jnp computes
+    the one-plane black-phase halos and the two ppermute exchanges per
+    sweep (same 4 ICI planes/sweep as the jnp path). Bit-identical to the
+    jnp sharded path."""
     from fluid_simulation_tpu.kernels import linsolve_sweep as ls
 
     dtype = f.dtype
+    Dl2, H2, W2 = f.shape
     a_c = jnp.asarray(np.float32(a), dtype)
     crec = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)
     interpret = ls.FORCE_INTERPRET
+    kp = keep[1:-1, 1:-1, 1:-1]
 
-    def sweep(fc, _):
+    def pad_plane(interior_plane, x0, x1, y0, y1):
+        """Rebuild a padded (H2, W2) row plane from its interior + the
+        ghost-lane values carried in the x/y ghost planes (edges zero)."""
+        z = jnp.zeros((H2, W2), dtype)
+        z = z.at[1:-1, 1:-1].set(interior_plane)
+        z = z.at[1:-1, 0].set(x0)
+        z = z.at[1:-1, -1].set(x1)
+        z = z.at[0, 1:-1].set(y0)
+        z = z.at[-1, 1:-1].set(y1)
+        return z
+
+    carry0 = (f[1:-1, 1:-1, 1:-1],
+              f[1:-1, 1:-1, 0], f[1:-1, 1:-1, -1],
+              f[1:-1, 0, 1:-1], f[1:-1, -1, 1:-1],
+              f[0], f[-1])
+
+    def sweep(carry, _):
+        fk, gx0, gx1, gy0, gy1, znlo, znhi = carry
         if n == 1:
-            bp_lo, bp_hi = fc[0], fc[-1]
+            bp_lo, bp_hi = znlo, znhi
         else:
-            bp_lo, bp_hi = _black_phase_planes(fc, prev, a_c, crec, n, i)
-        fc = ls.pallas_rbgs_sweep(b, fc, prev, keep, bp_lo, bp_hi,
-                                  float(a), float(c), wall_mode=wall_mode,
-                                  interpret=interpret)
-        if n > 1:
-            from_prev, from_next = _ppermute_updown(fc[-2], fc[1], n)
-            lo = jnp.where(i == 0, fc[0], from_prev)
-            hi = jnp.where(i == n - 1, fc[-1], from_next)
-            fc = fc.at[0].set(lo).at[-1].set(hi)
-        return fc, None
+            bp_lo, bp_hi = _black_phase_planes_pk(fk, prev, znlo, znhi,
+                                                  a_c, crec, n, i)
+        fk, gx0, gx1, gy0, gy1, gz0, gz1 = ls.pallas_rbgs_sweep_packed(
+            b, fk, prev[1:-1, 1:-1, 1:-1], kp, gx0, gx1, gy0, gy1,
+            znlo[1:-1, 1:-1], znhi[1:-1, 1:-1],
+            bp_lo[1:-1, 1:-1], bp_hi[1:-1, 1:-1],
+            float(a), float(c), wall_mode=wall_mode, interpret=interpret)
+        # post-bounds z exchange: global mirrors (zero borders, the
+        # _set_bounds_ex contract) or the neighbors' padded edge planes
+        zeros = jnp.zeros((H2, W2), dtype)
+        mirror_lo = zeros.at[1:-1, 1:-1].set(gz0)
+        mirror_hi = zeros.at[1:-1, 1:-1].set(gz1)
+        if n == 1:
+            znlo, znhi = mirror_lo, mirror_hi
+        else:
+            lo_pl = pad_plane(fk[-1], gx0[-1], gx1[-1], gy0[-1], gy1[-1])
+            hi_pl = pad_plane(fk[0], gx0[0], gx1[0], gy0[0], gy1[0])
+            from_prev, from_next = _ppermute_updown(lo_pl, hi_pl, n)
+            znlo = jnp.where(i == 0, mirror_lo, from_prev)
+            znhi = jnp.where(i == n - 1, mirror_hi, from_next)
+        return (fk, gx0, gx1, gy0, gy1, znlo, znhi), None
 
-    f, _ = lax.scan(sweep, f, None, length=acc)
-    return f
+    carry, _ = lax.scan(sweep, carry0, None, length=acc)
+    fk, gx0, gx1, gy0, gy1, znlo, znhi = carry
+    out = jnp.zeros_like(f)
+    out = out.at[1:-1, 1:-1, 1:-1].set(fk)
+    out = out.at[1:-1, 1:-1, 0].set(gx0)
+    out = out.at[1:-1, 1:-1, -1].set(gx1)
+    out = out.at[1:-1, 0, 1:-1].set(gy0)
+    out = out.at[1:-1, -1, 1:-1].set(gy1)
+    out = out.at[0].set(znlo)
+    out = out.at[-1].set(znhi)
+    return out
 
 
 def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
