@@ -76,7 +76,8 @@ def pallas_stream_solve_supported(shape, dtype=jnp.float32,
 
 
 def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
-                       interior, blk: int, dtype, apply_keep: bool):
+                       interior, blk: int, dtype, apply_keep: bool,
+                       xshift: str = "roll"):
     D, H, W = interior
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
@@ -126,8 +127,16 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
                 parity = jnp.logical_not(parity)
             sel = parity & (gp >= 0) & (gp <= D - 1)
             # ghost splices select sign * fpre at the edge position itself
-            xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
-            xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
+            if xshift == "concat":
+                # W > 128 spans lane tiles; probe whether a static
+                # slice-concat shift beats the cross-tile dynamic rotate
+                xpn = jnp.concatenate([f[:, :, 1:], f[:, :, -1:]], axis=2)
+                xmn = jnp.concatenate([f[:, :, :1], f[:, :, :-1]], axis=2)
+            else:
+                xpn = _roll(f, W - 1, 2)
+                xmn = _roll(f, 1, 2)
+            xp = jnp.where(ix == W - 1, pre, xpn)
+            xm = jnp.where(ix == 0, sxc * pre, xmn)
             yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
             ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
             zp = jnp.where(gp == D - 1, szc * pre, ext[lo_e + 1:hi_e + 2])
@@ -153,7 +162,7 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
 
 
 def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
-                           blk, interpret):
+                           blk, interpret, xshift="roll"):
     """Build the per-sweep pallas_call: ``call(f, f, f, rp, rp, rp[, kp, kp,
     kp])`` maps the pre-keep field to the next sweep's pre-keep field.
     Shared by the solve wrapper below and the streamed projection
@@ -161,7 +170,7 @@ def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
     D, H, W = interior
     nblk = -(-D // blk)
     kernel = _make_sweep_kernel(b, a, c, wall_mode, interior, blk,
-                                dtype, apply_keep)
+                                dtype, apply_keep, xshift=xshift)
     # lo/hi halo streams use hb-row blocks (hb | blk) so each block re-reads
     # only ~2*hb halo rows instead of 2*blk (5 vs 7 row-units of HBM per
     # sweep at blk=16)
@@ -200,12 +209,13 @@ def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk"))
+    "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk",
+    "xshift"))
 def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
                              acc: int = 15, wall_mode: str = "reference",
                              interpret: bool = False,
                              empty_scene: bool = False,
-                             blk: int | None = None):
+                             blk: int | None = None, xshift: str = "roll"):
     """Drop-in equivalent of ``pallas_rbgs_solve_blocked`` on packed-interior
     streamed data. ``blk`` overrides the auto-sized z-block (tests).
 
@@ -237,7 +247,8 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
 
     if acc > 1:
         call = make_packed_sweep_call(b, a, c, wall_mode, interior, dtype,
-                                      apply_keep, blk, interpret)
+                                      apply_keep, blk, interpret,
+                                      xshift=xshift)
 
         def sweep(f, _):
             ops = [f, f, f, rp, rp, rp]
