@@ -318,3 +318,27 @@ def test_stream_solve_bfloat16():
     a = np.asarray(got, np.float32)
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, np.asarray(ref), rtol=0.1, atol=0.05)
+
+
+def test_solve_dispatch_gates():
+    """The solve-kernel ladder picks the right implementation per shape:
+    resident packed for <=VMEM grids, packed streaming for >VMEM grids,
+    with the CPU backend falling back to jnp (gates are backend-aware)."""
+    from fluid_simulation_tpu.kernels.linsolve_pallas import (
+        pallas_solve_supported)
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        _pick_blk, pallas_stream_solve_supported)
+
+    # backend-independent pieces: VMEM accounting and block choice
+    flagship = (66, 66, 130)
+    big = (258, 130, 130)
+    huge = (258, 258, 258)
+    # the stream kernel's block choice across grid classes
+    assert _pick_blk(flagship, jnp.float32, True) is not None
+    assert _pick_blk(big, jnp.float32, False) == 16
+    assert _pick_blk(huge, jnp.float32, False) == 16
+    # a pathological row size exceeds the stream budget
+    assert _pick_blk((10, 1026, 2050), jnp.float32, False) is None
+    # on CPU both TPU gates must refuse (tests run the jnp oracle)
+    assert not pallas_solve_supported(flagship)
+    assert not pallas_stream_solve_supported(big)
