@@ -166,6 +166,14 @@ def cmd_view(args):
     return launch_viewer(args.data_dir, dims=_dims_opt(args))
 
 
+def cmd_view3d(args):
+    """3-D viewer on a dump — the reference launcher's final stage
+    (run.sh:4 -> GUI/main.py:11-41). PyQt6+OpenGL when available,
+    matplotlib 3-D fallback otherwise (viewer3d.launch_viewer_3d)."""
+    from fluid_simulation_tpu.viz.viewer3d import launch_viewer_3d
+    return launch_viewer_3d(args.data_dir, dims=_dims_opt(args))
+
+
 def _dims_opt(args):
     if args.dims:
         return tuple(int(v) for v in args.dims.split(","))
@@ -211,6 +219,12 @@ def main(argv=None):
     vp.add_argument("--data-dir", default="data")
     vp.add_argument("--dims", help="W,H,D if no meta.json")
     vp.set_defaults(fn=cmd_view)
+
+    v3 = sub.add_parser("view3d", help="open the 3-D viewer "
+                        "(iso-surface obstacle mesh + streamlines)")
+    v3.add_argument("--data-dir", default="data")
+    v3.add_argument("--dims", help="W,H,D if no meta.json")
+    v3.set_defaults(fn=cmd_view3d)
 
     bp = sub.add_parser("bench", help="run the benchmark")
     bp.set_defaults(fn=cmd_bench)

@@ -52,14 +52,17 @@ def _pick_blk(shape, dtype, apply_keep: bool):
     *smaller* footprints (a Mosaic limit on the ~blk+4-row temporaries, not
     modelable as bytes), and 8 vs 16 measure within noise. The byte bound
     below (22 rows-equivalents per block row) matches the largest working
-    configuration (256^3, blk=16, ~92 MB)."""
+    configuration (256^3, blk=16, ~92 MB). Without a keep mask the kernel
+    streams one fewer full window (n_stream below), so its budget is 3
+    row-units smaller (ADVICE r2)."""
     D, H, W = (n - 2 for n in shape)
     it = _itemsize(dtype)
     rb = _tiled_bytes((1, H, W), it)
+    units = 22 if apply_keep else 19
     for blk in (16, 8):
         if blk > D:
             continue
-        if 22 * blk * rb <= VMEM_BUDGET_BYTES:
+        if units * blk * rb <= VMEM_BUDGET_BYTES:
             return blk
     return None
 

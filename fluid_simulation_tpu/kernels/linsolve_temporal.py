@@ -259,7 +259,8 @@ def pallas_rbgs_solve_temporal(b: int, field, prev, keep, a: float, c: float,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=20 * nsw * int(np.prod(shape)),
-                bytes_accessed=(4 + 4 * 2 * hb // blk) * _tiled_bytes(shape),
+                bytes_accessed=(4 + 4 * 2 * hb // blk) * _tiled_bytes(
+                    shape, _itemsize(dtype)),
                 transcendentals=0),
             **kwargs,
         )

@@ -18,6 +18,10 @@ _LIB_PATH = os.path.join(_DIR, "libfstpu.so")
 _lock = threading.Lock()
 _lib = None
 
+# Must match fstpu_abi_version() in geometry.cpp. A stale .so with an older
+# ABI would read pointer arguments from the wrong slots (ADVICE r2).
+_ABI_VERSION = 3
+
 
 def _build() -> bool:
     try:
@@ -39,5 +43,15 @@ def load_library() -> ctypes.CDLL:
         # are newer than a stale .so (make tracks the dependency mtimes)
         if not _build() and not os.path.exists(_LIB_PATH):
             raise OSError("libfstpu.so unavailable and could not be built")
-        _lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            got = int(lib.fstpu_abi_version())
+        except AttributeError:
+            got = -1
+        if got != _ABI_VERSION:
+            raise OSError(
+                f"libfstpu.so ABI version {got} != expected {_ABI_VERSION} "
+                "(stale build that `make` could not refresh); run "
+                f"`make -C {_DIR} clean all`")
+        _lib = lib
         return _lib

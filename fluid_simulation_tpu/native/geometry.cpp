@@ -66,6 +66,11 @@ inline bool ray_hits(const Vec3& orig, const Vec3& dir,
 
 extern "C" {
 
+// Bumped whenever any exported signature changes; native/__init__.py refuses
+// to use a stale .so whose version does not match (a silently-loaded old
+// binary would read pointer arguments from the wrong slots).
+long fstpu_abi_version() { return 3; }
+
 // Returns the number of obstacle cells written into out_mask, which must be a
 // zero-initialized float array of (D+2)*(H+2)*(W+2), z-major/x-fastest like
 // the solver grid. Triangles are (n,3,3) float32, already rotated.

@@ -187,7 +187,7 @@ def _launch_qt_gl(data_dir, params, dims) -> int:
             self._last = None
             self._bg = None           # background_geometry cache
             self._vbo = self._ibo = None
-            self._mesh_rev = None     # id() of the uploaded verts array
+            self._mesh_rev = None     # the uploaded verts array itself
 
         def initializeGL(self):
             GL.glEnable(GL.GL_DEPTH_TEST)
@@ -220,14 +220,16 @@ def _launch_qt_gl(data_dir, params, dims) -> int:
                 self._ibo = int(GL.glGenBuffers(1))
             GL.glBindBuffer(GL.GL_ARRAY_BUFFER, self._vbo)
             GL.glBindBuffer(GL.GL_ELEMENT_ARRAY_BUFFER, self._ibo)
-            if self._mesh_rev != id(v):
+            # identity check holds a reference to the uploaded array so a
+            # GC'd array can never hand its id() to a new mesh (ADVICE r2)
+            if self._mesh_rev is not v:
                 GL.glBufferData(GL.GL_ARRAY_BUFFER,
                                 np.ascontiguousarray(v, np.float32),
                                 GL.GL_STATIC_DRAW)
                 GL.glBufferData(GL.GL_ELEMENT_ARRAY_BUFFER,
                                 np.ascontiguousarray(f, np.uint32),
                                 GL.GL_STATIC_DRAW)
-                self._mesh_rev = id(v)
+                self._mesh_rev = v
 
         def resizeGL(self, w, h):
             GL.glViewport(0, 0, w, max(1, h))
