@@ -31,14 +31,58 @@ def batch_masks(obstacle_list: Sequence[np.ndarray]):
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *masks)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "steps"))
-def design_sweep(batched_masks, params: SimParams, steps: int):
-    """Simulate ``B`` geometries in parallel for ``steps`` steps.
+# Auto-route crossover (interior cells). Measured on one v5e with the packed
+# kernel suite (tools/bench_sweep.py, NOTES.md "Round-2 re-measure"): at the
+# 524,288-cell flagship the vmapped batch runs 0.78x of 8 sequential runs
+# (vmapped Pallas grids + non-fused batch layouts), while at small grids the
+# single batched program wins on amortized dispatch. Sizes at/above this
+# threshold take the sequential lax.map route.
+SWEEP_VMAP_MAX_CELLS = 256 * 1024
 
-    Returns ``(final_states, stats)`` with a leading batch axis. Pair with a
-    ``('batch',)`` mesh axis (parallel/) to spread geometries across chips.
+
+@functools.partial(jax.jit, static_argnames=("params", "steps", "route"))
+def design_sweep(batched_masks, params: SimParams, steps: int,
+                 route: str = "auto"):
+    """Simulate ``B`` geometries for ``steps`` steps in ONE compiled program.
+
+    Returns ``(final_states, stats)``: states carry a leading batch axis,
+    stats are ``(steps, B)``. Pair with a ``('batch',)`` mesh axis
+    (parallel/) to spread geometries across chips.
+
+    ``route`` picks how the batch axis is executed:
+
+    - ``'vmap'``: one vmapped step, the whole batch advances together.
+      Wins when the per-step program is dispatch/latency-bound (small grids).
+    - ``'sequential'``: ``lax.map`` over geometries, each simulated with the
+      unbatched step — so every Pallas kernel runs in its fused non-vmapped
+      form. Wins when a single geometry already saturates the chip
+      (measured 1.28x over vmap at the 128x64x64 flagship, NOTES.md).
+    - ``'auto'`` (default): sequential at/above ``SWEEP_VMAP_MAX_CELLS``
+      interior cells, vmap below.
+
+    Both routes run the same ``simulation_step`` on the same inputs; results
+    are identical (test_sweep.py asserts equality).
     """
+    if route == "auto":
+        route = "vmap" if params.n_cells < SWEEP_VMAP_MAX_CELLS else (
+            "sequential")
+    if route not in ("vmap", "sequential"):
+        raise ValueError(f"unknown sweep route: {route!r}")
     B = jax.tree_util.tree_leaves(batched_masks)[0].shape[0]
+
+    if route == "sequential":
+        def one_geometry(masks):
+            def body(st, _):
+                st, stats = simulation_step(st, masks, params)
+                return st, stats
+            return jax.lax.scan(body, init_state(params), None, length=steps)
+
+        final, stats = jax.lax.map(one_geometry, batched_masks)
+        # (B, steps, ...) -> (steps, B, ...) to match the vmap route
+        stats = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), stats)
+        return final, stats
+
     state0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(params))
 

@@ -44,6 +44,22 @@ def test_design_sweep_matches_individual_runs():
             np.testing.assert_allclose(a, r, atol=5e-5 * (np.abs(r).max() + 1e-9))
 
 
+def test_sweep_routes_agree():
+    """Auto-routing (VERDICT r2 #6): both execution routes of the batch axis
+    run the same step and must agree; 'auto' must resolve to one of them."""
+    geoms = _geometries()[:3]
+    bm = batch_masks(geoms)
+    f_v, s_v = design_sweep(bm, P, steps=3, route="vmap")
+    f_s, s_s = design_sweep(bm, P, steps=3, route="sequential")
+    np.testing.assert_allclose(np.asarray(s_v.density_sum),
+                               np.asarray(s_s.density_sum), rtol=1e-6)
+    for a, b in zip(f_v, f_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    big = SimParams(width=128, height=64, depth=64)
+    assert big.n_cells >= 256 * 1024          # flagship auto-routes sequential
+    assert P.n_cells < 256 * 1024             # test grid auto-routes vmap
+
+
 def test_drag_proxy_orders_geometries():
     geoms = _geometries()
     bm = batch_masks(geoms)
