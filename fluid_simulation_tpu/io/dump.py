@@ -210,8 +210,14 @@ def run_and_dump(wt, steps: int, out_dir: str, chunk: int = 10,
     ``SimulationDiverged`` raised, so long runs never silently write garbage.
     """
     obs_np = np.asarray(wt.obstacles, dtype=np.float32)
-    # (vx, vy, vz, dens) host copies of the last finite state
-    last_good = tuple(np.asarray(f) for f in wt.state) if guard_nan else None
+    # (vx, vy, vz, dens) host copies of the last finite state, in the global
+    # padded layout (a ShardedWindTunnel's .state is slab-stacked — its
+    # global_state() stitches; recorded bursts below arrive pre-stitched)
+    if guard_nan:
+        src = wt.global_state() if hasattr(wt, "global_state") else wt.state
+        last_good = tuple(np.asarray(f) for f in src)
+    else:
+        last_good = None
     with FrameWriter(out_dir, wt.params, async_io=async_io,
                      backend=backend) as w:
         done = 0

@@ -173,6 +173,160 @@ def lane_lerp_supported(padded_shape) -> bool:
     return max(W2, H2, D2) <= LANE_LERP_MAX_C
 
 
+# ---------------------------------------------------------------------------
+# Fused backtrace+gather pass: the index math (iota - dt*N*v, clamp,
+# floor/frac — simulation.cpp:384-390 per axis) runs inside the kernel from
+# the velocity component itself, so XLA never materialises full-size index
+# arrays between passes (at the flagship that was ~6.3 MB written + read per
+# pass for the 3-stack). Values are bit-identical to the lane_lerp path: the
+# same f32 expression tree evaluates in the same order, only in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _make_pass_kernel(Bn: int, C: int, dtN: float, N: int, n_chunks: int):
+    """Gather-lerp along lanes with in-kernel backtrace.
+
+    arr_ref: (Bn, RB, C) source rows; v_ref: (RB, CB) velocity chunk;
+    out_ref: (Bn, RB, CB). Lane l of chunk j is padded coordinate
+    ``j*CB + l``; interior coordinates are 1..N (padded index == coordinate,
+    ops/advect.py backtrace). Ghost-lane outputs compute clamped garbage and
+    are sliced away by the caller — they never feed later passes' interiors
+    (gathers along other axes read only same-lane values)."""
+    offs = _window_offsets(C) if C > 128 else [0]
+    lo = float(np.float32(0.5))
+    hi = float(np.float32(np.float32(N) + np.float32(0.5)))
+    dtN_l = float(np.float32(dtN))
+
+    def kernel(arr_ref, v_ref, out_ref):
+        CB = v_ref.shape[1]
+        j = pl.program_id(1) if n_chunks > 1 else 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
+        xi = (lane + j * CB).astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        # bitcast round-trip forces the product to round to f32 before the
+        # subtract: the in-kernel compiler otherwise contracts mul+sub into
+        # an FMA, whose single rounding moves xb ~1 ulp off the lane_lerp
+        # path and can flip a floor() across a cell boundary
+        prod = jnp.float32(dtN_l) * v
+        prod = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(prod, jnp.int32), jnp.float32)
+        xb = jnp.clip(xi - prod, jnp.float32(lo), jnp.float32(hi))
+        i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
+        s = xb - i0.astype(jnp.float32)
+        for b in range(Bn):
+            gd = _gather_dtype(arr_ref.dtype)
+            if C <= 128:
+                arr = arr_ref[b].astype(gd)
+                a = jnp.take_along_axis(arr, i0, axis=1)
+                bb = jnp.take_along_axis(arr, i0 + 1, axis=1)
+            else:
+                a = jnp.zeros(i0.shape, gd)
+                bb = jnp.zeros(i0.shape, gd)
+                for wj, off in enumerate(offs):
+                    w = arr_ref[b][:, off:off + 128].astype(gd)
+                    use = i0 <= off + 126 if wj == 0 else (
+                        (i0 >= off) & (i0 <= off + 126)
+                        if wj < len(offs) - 1 else i0 >= off)
+                    li = jnp.clip(i0 - off, 0, 126)
+                    a = jnp.where(use, jnp.take_along_axis(w, li, axis=1), a)
+                    bb = jnp.where(use,
+                                   jnp.take_along_axis(w, li + 1, axis=1), bb)
+            out_ref[b] = (a * (1.0 - s) + bb * s).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _lane_pass(arr3d: jnp.ndarray, v2d: jnp.ndarray, dtN: float, N: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """One fused advection pass: ``out[b, r, c] = lerp(arr[b, r, :],
+    clip(c - dtN*v[r, c], 0.5, N+0.5))`` along the lane axis.
+
+    ``arr3d`` is (Bn, R, C) — stacked fields sharing one velocity; ``v2d``
+    is (R, C) in the *same padded layout* (the backtrace only reads the
+    lane's own velocity). Returns (Bn, R, C) full width."""
+    Bn, R, C = arr3d.shape
+    if v2d.shape != (R, C):
+        raise ValueError(f"velocity shape {v2d.shape} != rows {(R, C)}")
+    if C > LANE_LERP_MAX_C:
+        raise ValueError(f"gather axis too wide for the lane kernel: {C}")
+    C_BLK = C if C <= 128 else 128
+    n_chunks = pl.cdiv(C, C_BLK)
+    # row block from a VMEM byte budget: double-buffered arr-in (Bn, RB, C)
+    # + v (RB, CB) + out (Bn, RB, CB), lane dims tile-rounded
+    it = 2 if arr3d.dtype == jnp.bfloat16 else 4
+    ct = -(-C // 128) * 128
+    cbt = -(-C_BLK // 128) * 128
+    per_row = 2 * (Bn * ct + cbt + Bn * cbt) * it
+    R_BLK = max(64, (48 * 1024 * 1024) // per_row) // 8 * 8
+    R_BLK = min(R, R_BLK)
+    kernel = _make_pass_kernel(Bn, C, dtN, N, n_chunks)
+    grid = (pl.cdiv(R, R_BLK), n_chunks)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Bn, R, C), arr3d.dtype),
+        in_specs=[
+            pl.BlockSpec((Bn, R_BLK, C), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_BLK, C_BLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bn, R_BLK, C_BLK), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(arr3d, v2d)
+
+
+@functools.partial(jax.jit, static_argnames=("dt_", "interpret"))
+def advect_split_fused(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
+                       vz: jnp.ndarray, dt_: float,
+                       interpret: bool = False) -> jnp.ndarray:
+    """advect_split with the backtrace fused into each pass kernel.
+
+    Same expression tree as ``advect_split``; outputs agree to ~1-2 ulp
+    (measured max 2.4e-7 on randomized fields). Exact bit-parity is not
+    attainable: the in-kernel compiler and the outside-XLA path make
+    different FMA-contraction choices for the lerp (the backtrace product
+    is barriered below, which removes the *index* flips). 'split' mode has
+    no bit-parity contract — goldens ride 'compat' — so the cheaper fused
+    form is the production path (advect_split_auto)."""
+    squeeze = prev.ndim == 3
+    if squeeze:
+        prev = prev[None]
+    Bn, D2, H2, W2 = prev.shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    # dt*N products in f32, matching advect_split's
+    # ``np.float32(dt) * np.float32(N)`` exactly (1-ulp parity matters: a
+    # differently-rounded coefficient can move a floor() across a cell)
+    dt = np.float32(dt_)
+
+    # ---- x pass: lanes = x, rows = (z, y) incl. ghosts
+    A = _lane_pass(prev.reshape(Bn, D2 * H2, W2),
+                   vx.reshape(D2 * H2, W2), float(dt * np.float32(W)), W,
+                   interpret=interpret).reshape(Bn, D2, H2, W2)
+
+    # ---- y pass: lanes = y, rows = (z, x) incl. ghost x lanes
+    At = jnp.swapaxes(A, 2, 3)                       # (Bn, D2, W2, H2)
+    vyT = jnp.swapaxes(vy, 1, 2)                     # (D2, W2, H2)
+    B = _lane_pass(At.reshape(Bn, D2 * W2, H2),
+                   vyT.reshape(D2 * W2, H2), float(dt * np.float32(H)), H,
+                   interpret=interpret).reshape(Bn, D2, W2, H2)
+
+    # ---- z pass: lanes = z, rows = (y, x)
+    Bt = jnp.transpose(B, (0, 3, 2, 1))              # (Bn, H2, W2, D2)
+    vzT = jnp.transpose(vz, (1, 2, 0))               # (H2, W2, D2)
+    Cc = _lane_pass(Bt.reshape(Bn, H2 * W2, D2),
+                    vzT.reshape(H2 * W2, D2), float(dt * np.float32(D)), D,
+                    interpret=interpret).reshape(Bn, H2, W2, D2)
+    out = jnp.transpose(Cc, (0, 3, 1, 2))[:, 1:-1, 1:-1, 1:-1]
+    return out[0] if squeeze else out
+
+
 def _coords(n: int, dtype):
     return jnp.arange(1, n + 1, dtype=dtype)
 

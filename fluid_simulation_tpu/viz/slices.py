@@ -39,16 +39,23 @@ def render_slice(field: np.ndarray, obs: np.ndarray, z: int,
     return overlay_obstacle(rgb, np.asarray(obs)[z], alpha=alpha)
 
 
+def colormap_slice(sl: jnp.ndarray, obs_sl: jnp.ndarray,
+                   kind: str = "dens") -> jnp.ndarray:
+    """Traceable core: one 2-D plane -> RGB uint8 with obstacle shading.
+    Usable inside jit/shard_map (ShardedWindTunnel.render_slice renders the
+    owning rank's plane with this)."""
+    vmin, vmax = FIELD_RANGES[kind]
+    lut = jnp.asarray(build_lut())  # (256, 3) uint8, constant-folded
+    t = jnp.clip((sl.astype(jnp.float32) - vmin) / (vmax - vmin), 0.0, 1.0)
+    idx = (t * 255.0 + 0.5).astype(jnp.int32)
+    rgb = lut[idx]  # gather -> (H+2, W+2, 3)
+    dark = (rgb.astype(jnp.float32) * 0.8).astype(jnp.uint8)
+    solid = (obs_sl > 0.5)[..., None]
+    return jnp.where(solid, dark, rgb)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "z"))
 def render_frame_device(field: jnp.ndarray, obs: jnp.ndarray,
                         z: int, kind: str = "dens") -> jnp.ndarray:
     """On-device slice -> RGB uint8. Jitted; safe to fetch (tiny)."""
-    vmin, vmax = FIELD_RANGES[kind]
-    lut = jnp.asarray(build_lut())  # (256, 3) uint8, constant-folded
-    sl = field[z].astype(jnp.float32)
-    t = jnp.clip((sl - vmin) / (vmax - vmin), 0.0, 1.0)
-    idx = (t * 255.0 + 0.5).astype(jnp.int32)
-    rgb = lut[idx]  # gather -> (H+2, W+2, 3)
-    dark = (rgb.astype(jnp.float32) * 0.8).astype(jnp.uint8)
-    solid = (obs[z] > 0.5)[..., None]
-    return jnp.where(solid, dark, rgb)
+    return colormap_slice(field[z], obs[z], kind)

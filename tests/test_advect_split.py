@@ -7,7 +7,8 @@ import pytest
 
 from fluid_simulation_tpu.config import SimParams
 from fluid_simulation_tpu.kernels.advect_pallas import (
-    advect_split, advect_split_jnp, advect_split_reference, lane_lerp)
+    advect_split, advect_split_fused, advect_split_jnp,
+    advect_split_reference, lane_lerp)
 from fluid_simulation_tpu.models.windtunnel import WindTunnel
 
 
@@ -118,3 +119,20 @@ def test_advect_split_kernel_wide_grid_interpret():
     got = np.asarray(advect_split(prev, vx, vy, vz, 0.05, interpret=True))
     # three chained lerps over normal(0,1) data: tail |err| ~ 3e-5
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_advect_split_fused_matches_lane_path_interpret():
+    """Fused-backtrace passes vs the lane_lerp path: same expression tree;
+    interpret-mode FP contraction differs by ~1 ulp (on the chip the two
+    are bitwise equal — tools/exp_advect_fused.py measured max diff 0)."""
+    for dims, seed in (((24, 12, 10), 0), ((140, 10, 8), 5), ((18, 8, 6), 2)):
+        W, H, D = dims
+        prev, vx, vy, vz = _fields(W=W, H=H, D=D, seed=seed)
+        stacked = jnp.stack([prev, prev * 0.5 + 0.1, prev * -0.25])
+        want = np.asarray(advect_split(stacked, vx, vy, vz, 0.05,
+                                       interpret=True))
+        got = np.asarray(advect_split_fused(stacked, vx, vy, vz, 0.05,
+                                            interpret=True))
+        assert got.shape == want.shape == (3, D, H, W)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"dims={dims}")

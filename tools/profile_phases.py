@@ -94,26 +94,32 @@ def main():
         return s._replace(vx=vx, vy=vy, vz=vz)
     timeit("project_x1 (2)", proj, state)
 
-    # -- split advect of the stacked 3 velocity fields (step runs 1)
+    # -- split advect of the stacked 3 velocity fields, exactly as the step
+    # dispatches it (advect_split_auto + fused _pad_bounds_tail)
     from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
+    from fluid_simulation_tpu.models.windtunnel import _pad_bounds_tail
 
     def adv3(s, m):
         stacked = jnp.stack([s.vx, s.vy, s.vz])
         smp = advect_split_auto(stacked, s.vx, s.vy, s.vz, p.dt)
-        outs = []
-        for b in (1, 2, 3):
-            f = jnp.zeros_like(s.vx).at[1:-1, 1:-1, 1:-1].set(smp[b - 1])
-            outs.append(set_bounds(b, f, m, p.wall_mode, p.empty_scene))
-        return s._replace(vx=outs[0], vy=outs[1], vz=outs[2])
+        vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), m, p)
+        return s._replace(vx=vx, vy=vy, vz=vz)
     timeit("advect_split_vel3 (1)", adv3, state)
 
     # -- split advect of density (step runs 1)
     def advd(s, m):
         smp = advect_split_auto(s.dens, s.vx, s.vy, s.vz, p.dt)
-        dens = jnp.zeros_like(s.dens).at[1:-1, 1:-1, 1:-1].set(smp)
-        dens = set_bounds(0, dens, m, p.wall_mode, p.empty_scene)
+        dens, = _pad_bounds_tail(smp, (0,), m, p)
         return s._replace(dens=dens)
     timeit("advect_split_dens (1)", advd, state)
+
+    # -- the fused pad+setBounds epilogue alone (one 3-stack call)
+    def tail3(s, m):
+        smp = jnp.stack([s.vx[1:-1, 1:-1, 1:-1], s.vy[1:-1, 1:-1, 1:-1],
+                         s.vz[1:-1, 1:-1, 1:-1]])
+        vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), m, p)
+        return s._replace(vx=vx, vy=vy, vz=vz)
+    timeit("pad_bounds_tail3_x1", tail3, state)
 
     # -- pieces of the split advect: transposes only (y-pass + z-pass style,
     # there and back = 4 transposes of one field)
