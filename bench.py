@@ -1,28 +1,33 @@
 #!/usr/bin/env python3
-"""Benchmark: the reference's headline workload on one TPU chip.
+"""Benchmark: the reference's headline workload plus the BASELINE config
+matrix on one TPU chip.
 
-Workload = BASELINE.md row "interior cell-updates/sec": the 128x64x64 wind
-tunnel (same grid, inlet forcing, 15-sweep solves, two projections per step),
-timed over scanned steps with the device fenced at both ends. The reference
-measures 0.43e6 cell-updates/s on its hardware; ``vs_baseline`` is against
-that.
+Headline (the JSON ``value``) = BASELINE.md row "interior cell-updates/sec":
+the 128x64x64 wind tunnel (same grid, inlet forcing, 15-sweep solves, two
+projections per step) in ``mode='split'`` — the TPU-native production
+formulation. The reference measures 0.43e6 cell-updates/s on its hardware;
+``vs_baseline`` is against that.
 
-Two configurations are measured and printed to stderr; the JSON headline is
-the framework's TPU-native production mode:
+The ``configs`` dict (VERDICT r2 #5) makes every headline measured in
+NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
 
-- ``mode='split'`` (headline): fused VMEM-resident relaxation solver +
-  operator-split lane-gather advection — the TPU-first formulation
-  (kernels/). Identical projection/diffusion operators; advection is the
-  standard dimensional-split semi-Lagrangian scheme.
-- ``mode='compat'``: bit-level reference semantics (trilinear backtrace with
-  the sequential component chain) used by the golden parity tests; its
-  advection is an arbitrary 3-D gather that XLA executes at ~9 ns/element.
+- ``flagship_compat``: bit-level reference semantics (golden-parity mode).
+- ``obstacle_sphere``: 128x64x64 + voxel sphere (BASELINE config 2 proxy).
+- ``noslip_vorticity``: no-slip walls + vorticity confinement (config 3).
+- ``sweep8``: 8 obstacle geometries in one program, auto-routed
+  (config 4) — reported as geometry-steps/s.
+- ``grid_256x128x128`` / ``grid_256x256x256``: big grids (config 5's
+  single-chip proxy; the 2-chip run is exercised by tests + dryrun).
+- ``flagship_bf16``: bfloat16 state.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each config reports ms/step and cell-updates/s; failures are recorded as
+strings instead of killing the headline. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "configs"}.
 
 Environment notes: warmup transfer eats the per-process tunnel stall;
 repetitions run inside one jitted lax.scan (per-dispatch RPC is ~150 ms);
-best of several windows.
+slope timing cancels the fixed per-dispatch overhead; best of several
+windows.
 """
 
 import json
@@ -40,20 +45,34 @@ def main():
     from fluid_simulation_tpu.config import SimParams
     from fluid_simulation_tpu.models.windtunnel import (
         WindTunnel, simulation_step)
+    from fluid_simulation_tpu.scene.primitives import (
+        add_box, add_sphere, empty_obstacles)
 
     # warmup: eat the per-process first-readback stall before any timing
     np.asarray(jax.jit(lambda: jnp.zeros((8, 128)))())
 
-    def measure(params, reps, n):
-        """Slope timing: ms/step = (t(3n) - t(n)) / 2n — cancels the relay
-        tunnel's fixed per-dispatch overhead (~0.5 ms), which at n=50 used
-        to inflate the reported step time by ~10-20%. Masks are jit
-        arguments, not closure captures (captured device arrays embed as
-        full-size program constants)."""
-        wt = WindTunnel(params)
+    def slope_time(run_n, *args, reps=3, n=50):
+        """(t(3n) - t(n)) / 2n — cancels the relay tunnel's fixed
+        per-dispatch overhead (~0.5 ms)."""
+        r1, r3 = run_n(n), run_n(3 * n)
+        out = r1(*args)
+        jax.block_until_ready(out)
+        jax.block_until_ready(r3(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(r1(*args))
+            t1 = time.perf_counter()
+            jax.block_until_ready(r3(*args))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n))
+        return best, out
+
+    def measure(params, obstacles=None, reps=3, n=50):
+        """ms/step of the full jitted step under scan; final-state checks."""
+        wt = WindTunnel(params, obstacles=obstacles)
         # WindTunnel upgrades empty_scene for obstacle-free scenes — time
-        # the params a user's run actually executes, not the conservative
-        # input ones (the empty-scene static specialisations are real)
+        # the params a user's run actually executes
         params = wt.params
         masks = wt.masks
 
@@ -66,30 +85,20 @@ def main():
                 return jax.lax.scan(body, state, None, length=length)[0]
             return run
 
-        r1, r3 = run_n(n), run_n(3 * n)
-        state = r1(wt.state, masks)      # compile + first execution
-        jax.block_until_ready(state)
-        jax.block_until_ready(r3(state, masks))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(r1(state, masks))
-            t1 = time.perf_counter()
-            state = r3(state, masks)
-            jax.block_until_ready(state)
-            t2 = time.perf_counter()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n))
+        best, state = slope_time(run_n, wt.state, masks, reps=reps, n=n)
         dens_sum = float(jnp.sum(state.dens, dtype=jnp.float32))
         assert np.isfinite(dens_sum) and dens_sum > 0, dens_sum
         dmax, dmean = (float(x) for x in _residual_stats(state))
-        return best, dens_sum, (dmax, dmean)
+        return best, dens_sum, (dmax, dmean), params
 
     @jax.jit
     def _residual_stats(state):
-        """Post-projection divergence residual in grid units (BASELINE.md
-        row: reference final frame measured max 9.29 / mean 0.258) —
-        central differences, empty scene, computed on device under jit."""
-        vx, vy, vz = state.vx, state.vy, state.vz
+        """Post-projection divergence residual in grid units (BASELINE.md:
+        reference final frame max 9.29 / mean 0.258), central differences,
+        on device under jit."""
+        vx, vy, vz = (state.vx.astype(jnp.float32),
+                      state.vy.astype(jnp.float32),
+                      state.vz.astype(jnp.float32))
         div = 0.5 * (
             vx[1:-1, 1:-1, 2:] - vx[1:-1, 1:-1, :-2]
             + vy[1:-1, 2:, 1:-1] - vy[1:-1, :-2, 1:-1]
@@ -97,30 +106,88 @@ def main():
         a = jnp.abs(div)
         return jnp.max(a), jnp.mean(a, dtype=jnp.float32)
 
+    configs = {}
+
+    def record(name, params, obstacles=None, reps=3, n=50):
+        try:
+            t, ds, (dmax, dmean), p = measure(params, obstacles, reps, n)
+            cu = p.n_cells / t
+            configs[name] = {
+                "ms_per_step": round(t * 1e3, 3),
+                "cell_updates_per_sec": round(cu, 1),
+                "vs_baseline": round(cu / BASELINE_CELL_UPDATES_PER_SEC, 1),
+            }
+            print(f"# {name}: {t * 1e3:.2f} ms/step, {cu:.4g} cu/s "
+                  f"({cu / BASELINE_CELL_UPDATES_PER_SEC:.1f}x baseline), "
+                  f"density_sum={ds:.1f}, div_residual max={dmax:.2f} "
+                  f"mean={dmean:.4f}", file=sys.stderr, flush=True)
+            return t
+        except Exception as e:  # record, keep benching
+            configs[name] = f"error: {type(e).__name__}: {e}"
+            print(f"# {name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return None
+
     # 128x64x64 reference defaults; like the reference, no residual pass
     # inside the timed loop (stats computed once on the final state)
     base = SimParams(div_stats=False)
-    t_split, dens_split, res_split = measure(base.replace(mode="split"),
-                                             reps=3, n=100)
-    t_compat, dens_compat, res_compat = measure(base, reps=2, n=10)
+    split = base.replace(mode="split")
 
-    for name, t, ds, (dmax, dmean) in (
-            ("split", t_split, dens_split, res_split),
-            ("compat", t_compat, dens_compat, res_compat)):
-        cu = base.n_cells / t
-        print(f"# {name}: {t * 1e3:.2f} ms/step, {1.0 / t:.1f} steps/s, "
-              f"{cu:.4g} cell-updates/s "
-              f"({cu / BASELINE_CELL_UPDATES_PER_SEC:.1f}x baseline), "
-              f"density_sum={ds:.1f}, "
-              f"div_residual max={dmax:.2f} mean={dmean:.4f} "
-              f"(reference final-frame: 9.29/0.258)", file=sys.stderr)
+    t_split = record("flagship_split", split, n=100)
+    record("flagship_compat", base, reps=2, n=10)
 
+    sphere = add_sphere(empty_obstacles(128, 64, 64), cx=40, cy=32, cz=32,
+                        radius=10)
+    record("obstacle_sphere", split, obstacles=np.asarray(sphere), n=50)
+    record("noslip_vorticity",
+           split.replace(wall_mode="noslip", vorticity=5.0), n=50)
+    record("flagship_bf16", split.replace(dtype="bfloat16"), n=50)
+    record("grid_256x128x128",
+           SimParams(width=256, height=128, depth=128, div_stats=False,
+                     mode="split"), reps=2, n=10)
+    record("grid_256x256x256",
+           SimParams(width=256, height=256, depth=256, div_stats=False,
+                     mode="split"), reps=2, n=4)
+
+    # BASELINE config 4: 8 geometries, one program, auto-routed
+    try:
+        from fluid_simulation_tpu.models.sweep import batch_masks, design_sweep
+        geoms = [np.asarray(sphere)]
+        e = empty_obstacles(128, 64, 64)
+        for k in range(7):
+            g = (add_sphere(e, 30 + 6 * k, 20 + 3 * k, 28, 5 + k % 3)
+                 if k % 2 else add_box(e, 20 + 5 * k, 35 + 5 * k, 20, 40,
+                                       24, 40))
+            geoms.append(np.asarray(g))
+        bm = jax.tree_util.tree_map(jnp.asarray, batch_masks(geoms))
+
+        def run_n(length):
+            def run(bm):
+                return design_sweep(bm, split, steps=length)[0]
+            return run
+        best, _ = slope_time(run_n, bm, reps=2, n=4)
+        gsps = 8.0 / best
+        configs["sweep8"] = {"ms_per_batched_step": round(best * 1e3, 3),
+                             "geometry_steps_per_sec": round(gsps, 1)}
+        print(f"# sweep8: {best * 1e3:.2f} ms/batched-step = {gsps:.0f} "
+              f"geometry-steps/s (auto route)", file=sys.stderr, flush=True)
+    except Exception as e:
+        configs["sweep8"] = f"error: {type(e).__name__}: {e}"
+        print(f"# sweep8: FAILED {type(e).__name__}: {e}", file=sys.stderr,
+              flush=True)
+
+    if t_split is None:
+        print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                          "unit": "cell-updates/s", "vs_baseline": 0.0,
+                          "configs": configs}))
+        return 1
     cell_updates = base.n_cells / t_split
     result = {
         "metric": "cell_updates_per_sec_128x64x64_wind_tunnel",
         "value": round(cell_updates, 1),
         "unit": "cell-updates/s",
         "vs_baseline": round(cell_updates / BASELINE_CELL_UPDATES_PER_SEC, 2),
+        "configs": configs,
     }
     print(json.dumps(result))
     return 0

@@ -55,6 +55,10 @@ def pick_params(shape, dtype=jnp.float32, apply_keep: bool = True):
     rb = _row_bytes(shape, it)
     nops = 3 if apply_keep else 2
     best = None
+    # 90% margin: the byte model tracks Mosaic's true stack use only
+    # approximately — at 256^3 the unshaved budget admitted a config the
+    # chip rejected by 484 KB (r3 measurement)
+    budget = int(0.9 * VMEM_BUDGET_BYTES)
     for ksw in (6, 5, 4, 3, 2):
         hb = 2 * ksw + 2            # smallest even halo covering the skew
         for blk in (64, 48, 32, 24, 16, 8):
@@ -65,7 +69,7 @@ def pick_params(shape, dtype=jnp.float32, apply_keep: bool = True):
                     + 2 * blk * rb                   # out stream, dbuf
                     + nops * E * rb                  # window scratch
                     + 4 * (blk + 4 * ksw) * rb)      # halfsweep temporaries
-            if need <= VMEM_BUDGET_BYTES:
+            if need <= budget:
                 return blk, hb, ksw
     return best
 

@@ -47,6 +47,7 @@ from fluid_simulation_tpu.ops.linsolve import diffusion_coeffs
 from fluid_simulation_tpu.ops.project import grid_h
 
 AXIS = "z"
+AXIS_Y = "y"   # second mesh axis of the 2-D (z, y) decomposition
 
 
 def _signs(b: int, wall_mode: str):
@@ -56,16 +57,32 @@ def _signs(b: int, wall_mode: str):
             (-1.0 if b == 3 else 1.0))
 
 
-def _ppermute_updown(slab_up, slab_down, n):
+def _ppermute_updown(slab_up, slab_down, n, axis=AXIS):
     """Send my top interior slice up (to rank+1) and bottom slice down."""
-    from_prev = lax.ppermute(slab_up, AXIS, [(r, r + 1) for r in range(n - 1)])
-    from_next = lax.ppermute(slab_down, AXIS, [(r + 1, r) for r in range(n - 1)])
+    from_prev = lax.ppermute(slab_up, axis, [(r, r + 1) for r in range(n - 1)])
+    from_next = lax.ppermute(slab_down, axis, [(r + 1, r) for r in range(n - 1)])
     return from_prev, from_next
 
 
-def _exchange_interior(f, n, i):
-    """Refresh z-halos from neighbors; global-edge ghosts keep their values
-    (they are only rewritten by set_bounds, like the single-chip code)."""
+def _exchange_y(f, ny, iy):
+    """Refresh y-halo columns from the 'y' mesh neighbors; global y-edge
+    ghosts keep their values. The exchanged columns include z-ghost rows —
+    callers who also exchange z must do so AFTER this, so the z rows they
+    send carry fresh y-halos (corner consistency)."""
+    if ny == 1:
+        return f
+    from_prev, from_next = _ppermute_updown(f[:, -2, :], f[:, 1, :], ny,
+                                            AXIS_Y)
+    lo = jnp.where(iy == 0, f[:, 0, :], from_prev)
+    hi = jnp.where(iy == ny - 1, f[:, -1, :], from_next)
+    return f.at[:, 0, :].set(lo).at[:, -1, :].set(hi)
+
+
+def _exchange_interior(f, n, i, ny=1, iy=0):
+    """Refresh z-halos (and y-halos on a 2-D mesh) from neighbors;
+    global-edge ghosts keep their values (they are only rewritten by
+    set_bounds, like the single-chip code)."""
+    f = _exchange_y(f, ny, iy)
     if n == 1:
         return f
     from_prev, from_next = _ppermute_updown(f[-2], f[1], n)
@@ -74,10 +91,12 @@ def _exchange_interior(f, n, i):
     return f.at[0].set(lo).at[-1].set(hi)
 
 
-def _set_bounds_ex(b, f, keep, wall_mode, n, i):
-    """The sharded equivalent of ops.bounds.set_bounds: x/y faces + solid
-    zeroing locally, then z ghosts = pre-zeroing mirrors at the global edges
-    or neighbors' post-bounds boundary slices inside the domain."""
+def _set_bounds_ex(b, f, keep, wall_mode, n, i, ny=1, iy=0):
+    """The sharded equivalent of ops.bounds.set_bounds: x faces + solid
+    zeroing locally; y faces are mirrors on global y-edge ranks and
+    neighbors' post-bounds columns inside the domain (2-D mesh); z ghosts =
+    pre-zeroing mirrors at the global edges or neighbors' post-bounds
+    boundary slices inside the domain."""
     sx, sy, sz = _signs(b, wall_mode)
     f = f.at[1:-1, 1:-1, 0].set(sx * f[1:-1, 1:-1, 1])
     f = f.at[1:-1, 1:-1, -1].set(f[1:-1, 1:-1, -2])
@@ -89,6 +108,9 @@ def _set_bounds_ex(b, f, keep, wall_mode, n, i):
     mirror_lo = zeros.at[1:-1, 1:-1].set(sz * f[1, 1:-1, 1:-1])
     mirror_hi = zeros.at[1:-1, 1:-1].set(sz * f[-2, 1:-1, 1:-1])
     f = f * keep
+    # y halos first (post-keep columns, x-ghost entries fresh from the face
+    # writes above); the z exchange below then ships rows with fresh y-halos
+    f = _exchange_y(f, ny, iy)
     if n == 1:
         return f.at[0].set(mirror_lo).at[-1].set(mirror_hi)
     from_prev, from_next = _ppermute_updown(f[-2], f[1], n)
@@ -105,10 +127,12 @@ class _LocalMasks(NamedTuple):
     nb: Tuple  # (xp, xm, yp, ym, zp, zm) interior-shaped
 
 
-def _local_masks(solid, n, i, D, H, W, Dl) -> _LocalMasks:
+def _local_masks(solid, n, i, D, H, W, Dl, ny=1, iy=0, Hl=None) -> _LocalMasks:
     """scene.masks.build_masks, slab-local: adjacency and neighbor-validity
     read the solid halos; in-bounds checks and red/black parity use *global*
-    z coordinates."""
+    z (and, on a 2-D mesh, y) coordinates."""
+    if Hl is None:
+        Hl = H
     solid_i = solid[1:-1, 1:-1, 1:-1]
     fluid_i = 1.0 - solid_i
     adj = (
@@ -121,8 +145,9 @@ def _local_masks(solid, n, i, D, H, W, Dl) -> _LocalMasks:
         fluid_i * (1.0 - adj_fluid))
 
     z_off = i * Dl
+    y_off = iy * Hl
     zg = (jnp.arange(1, Dl + 1) + z_off).reshape(Dl, 1, 1)   # 1-based global
-    yg = jnp.arange(1, H + 1).reshape(1, H, 1)
+    yg = (jnp.arange(1, Hl + 1) + y_off).reshape(1, Hl, 1)
     xg = jnp.arange(1, W + 1).reshape(1, 1, W)
     red_i = (((zg + yg + xg) % 2) == 0)
 
@@ -293,8 +318,10 @@ def _solve_pallas(b, f, prev, a, c, keep, acc, wall_mode, n, i):
 
 
 def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
-           n, i, use_pallas=False):
-    if use_pallas and solver == "rbgs":
+           n, i, use_pallas=False, ny=1, iy=0):
+    if use_pallas and solver == "rbgs" and ny == 1:
+        # the packed per-sweep Pallas kernel implements the z-slab protocol
+        # only; 2-D meshes take the jnp path below
         from fluid_simulation_tpu.kernels.linsolve_sweep import (
             pallas_sweep_supported)
         if pallas_sweep_supported(f.shape, f.dtype):
@@ -311,15 +338,16 @@ def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
             upd = _update(fc, prev_i, a, c_recip)
             fc = fc.at[1:-1, 1:-1, 1:-1].set(
                 jnp.where(red, upd, fc[1:-1, 1:-1, 1:-1]))
-            fc = _exchange_interior(fc, n, i)      # red values cross slabs
+            # red values cross slab faces on both mesh axes
+            fc = _exchange_interior(fc, n, i, ny, iy)
             upd = _update(fc, prev_i, a, c_recip)
             fc = fc.at[1:-1, 1:-1, 1:-1].set(
                 jnp.where(red, fc[1:-1, 1:-1, 1:-1], upd))
-            return _set_bounds_ex(b, fc, keep, wall_mode, n, i), None
+            return _set_bounds_ex(b, fc, keep, wall_mode, n, i, ny, iy), None
     elif solver == "jacobi":
         def sweep(fc, _):
             fc = fc.at[1:-1, 1:-1, 1:-1].set(_update(fc, prev_i, a, c_recip))
-            return _set_bounds_ex(b, fc, keep, wall_mode, n, i), None
+            return _set_bounds_ex(b, fc, keep, wall_mode, n, i, ny, iy), None
     else:
         raise ValueError(
             f"sharded mode supports solver in ('rbgs','jacobi'), got {solver!r}")
@@ -328,9 +356,24 @@ def _solve(b, f, prev, a, c, lm: _LocalMasks, keep, acc, solver, wall_mode,
     return f
 
 
-def _gather_global(f, n):
+def _gather_y(f, ny):
+    """Reassemble the global y axis (axis 1) from local y-slabs: interior
+    columns from every rank + the y-edge ranks' ghost columns."""
+    if ny == 1:
+        return f
+    g = lax.all_gather(f, AXIS_Y, axis=1, tiled=False)
+    # (d0, ny, Hl+2, ...) -> (d0, H+2, ...)
+    interior = g[:, :, 1:-1].reshape((f.shape[0], -1) + f.shape[2:])
+    return jnp.concatenate([g[:, 0, :1], interior, g[:, ny - 1, -1:]],
+                           axis=1)
+
+
+def _gather_global(f, n, ny=1):
     """Reassemble the global padded field from local padded slabs (for the
-    semi-Lagrangian gather whose reach is unbounded)."""
+    semi-Lagrangian gather whose reach is unbounded). On a 2-D mesh the
+    y axis is gathered the same way (interior columns + the y-edge ranks'
+    ghost columns)."""
+    f = _gather_y(f, ny)
     if n == 1:
         return f
     g = lax.all_gather(f, AXIS, axis=0, tiled=False)  # (n, Dl+2, H+2, W+2)
@@ -433,45 +476,59 @@ def _z_lerp_dispatch(srcs, zb, n, i, params, sample_fn):
     return list(lax.cond(ok, bounded, fallback, (tuple(srcs), zb)))
 
 
-def _advect(b, prev, vx, vy, vz, lm, keep, params, n, i):
+def _coord_backtrace(v_i, n_local, off, N_glob, dt, dtype, axis_shape):
+    """Global-coordinate backtrace along one axis: coords are 1-based global
+    (local index + rank offset), displacement dt*N_glob, clamp to the global
+    box (simulation.cpp:384-390 operate on global indices)."""
+    sh = [1, 1, 1]
+    sh[axis_shape] = n_local
+    ci = (jnp.arange(1, n_local + 1, dtype=dtype).reshape(sh)
+          + jnp.asarray(off, dtype))
+    dtN = np.float32(dt) * np.float32(N_glob)
+    return jnp.clip(ci - jnp.asarray(dtN, dtype) * v_i,
+                    jnp.asarray(0.5, dtype),
+                    jnp.asarray(np.float32(N_glob) + np.float32(0.5), dtype))
+
+
+def _advect(b, prev, vx, vy, vz, lm, keep, params, n, i, ny=1, iy=0):
     p = params
     Dl = prev.shape[0] - 2
+    Hl = prev.shape[1] - 2
     vx_i = (prev if b == 1 else vx)[1:-1, 1:-1, 1:-1]
     vy_i = (prev if b == 2 else vy)[1:-1, 1:-1, 1:-1]
     vz_i = (prev if b == 3 else vz)[1:-1, 1:-1, 1:-1]
-    # x/y backtraces are slab-independent; the z backtrace must use *global*
-    # 1-based coordinates before the displacement and clamp
+    # the x backtrace is slab-independent; y (2-D mesh) and z backtraces use
+    # *global* 1-based coordinates before the displacement and clamp
     # (simulation.cpp:384-390 operate on global indices)
-    xb, yb, _ = backtrace(vx_i, vy_i, vz_i, p.dt, p.width, p.height, Dl,
-                          prev.dtype)  # z part rebuilt below in global coords
-    zi_g = (jnp.arange(1, Dl + 1, dtype=prev.dtype).reshape(Dl, 1, 1)
-            + (i * Dl).astype(prev.dtype))
-    dtD = np.float32(p.dt) * np.float32(p.depth)
-    zb = jnp.clip(zi_g - jnp.asarray(dtD, prev.dtype) * vz_i,
-                  jnp.asarray(0.5, prev.dtype),
-                  jnp.asarray(np.float32(p.depth) + np.float32(0.5),
-                              prev.dtype))
+    xb, _, _ = backtrace(vx_i, vy_i, vz_i, p.dt, p.width, Hl, Dl, prev.dtype)
+    yb = _coord_backtrace(vy_i, Hl, iy * Hl, p.height, p.dt, prev.dtype, 1)
+    zb = _coord_backtrace(vz_i, Dl, i * Dl, p.depth, p.dt, prev.dtype, 0)
+    # pre-gather y so the z-window machinery sees globally-y-extended rows
+    prev_g = _gather_y(prev, ny)
     (smp,) = _z_lerp_dispatch(
-        [prev], zb, n, i, p,
+        [prev_g], zb, n, i, p,
         lambda src, zz: trilinear_gather(src, xb, yb, zz))
     sampled = smp * lm.fluid_i
     out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
-    return _set_bounds_ex(b, out, keep, params.wall_mode, n, i)
+    return _set_bounds_ex(b, out, keep, params.wall_mode, n, i, ny, iy)
 
 
-def _advect_split_local(prev, vx, vy, vz, lm, keep, params, n, i):
+def _advect_split_local(prev, vx, vy, vz, lm, keep, params, n, i,
+                        ny=1, iy=0):
     """Sharded operator-split advection (mode='split').
 
-    The x and y passes are slab-local: ghost-z rows are computed from halo
-    values, which equal the neighbors' interior rows, so the intermediate
-    field needs no extra exchange. The z pass's reach is global (the clamp is
-    to the global domain, simulation.cpp:388-390), so the intermediate is
-    all-gathered once per field — the same ICI cost as the compat path's
-    prev gather. Matches the single-chip split mode to ulp.
+    The x pass is slab-local: ghost-z rows are computed from halo values,
+    which equal the neighbors' interior rows, so the intermediate field
+    needs no extra exchange. The y pass (2-D mesh) and z pass reach the
+    whole global axis (the clamp is to the global domain,
+    simulation.cpp:388-390): the y pass all-gathers the intermediate along
+    'y'; the z pass uses the bounded K-slab window with its all-gather
+    fallback. Matches the single-chip split mode to ulp.
     """
     p = params
     dtype = prev.dtype
     Dl = prev.shape[0] - 2
+    Hl = prev.shape[1] - 2
     W, H, D = p.width, p.height, p.depth
     dt = np.float32(p.dt)
 
@@ -485,50 +542,40 @@ def _advect_split_local(prev, vx, vy, vz, lm, keep, params, n, i):
     xi = jnp.arange(1, W + 1, dtype=dtype).reshape(1, 1, W)
     xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), dtype)
                   * vx[:, :, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(W) + np.float32(0.5), dtype))
-    A = lerp(prev, xb, axis=2)                      # (Dl+2, H2, W)
+    A = lerp(prev, xb, axis=2)                      # (Dl+2, Hl+2, W)
 
-    yi = jnp.arange(1, H + 1, dtype=dtype).reshape(1, H, 1)
-    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), dtype)
-                  * vy[:, 1:-1, 1:-1], jnp.asarray(0.5, dtype), jnp.asarray(np.float32(H) + np.float32(0.5), dtype))
-    B = lerp(A, yb, axis=1)                         # (Dl+2, H, W)
+    yb = _coord_backtrace(vy[:, 1:-1, 1:-1], Hl, iy * Hl, H, p.dt, dtype, 1)
+    B = lerp(_gather_y(A, ny), yb, axis=1)          # (Dl+2, Hl, W)
 
-    zi_g = (jnp.arange(1, Dl + 1, dtype=dtype).reshape(Dl, 1, 1)
-            + (i * Dl).astype(dtype))
-    zb = jnp.clip(zi_g - jnp.asarray(dt * np.float32(D), dtype)
-                  * vz[1:-1, 1:-1, 1:-1], jnp.asarray(0.5, dtype),
-                  jnp.asarray(np.float32(D) + np.float32(0.5), dtype))
+    zb = _coord_backtrace(vz[1:-1, 1:-1, 1:-1], Dl, i * Dl, D, p.dt,
+                          dtype, 0)
     (smp,) = _z_lerp_dispatch([B], zb, n, i, p,
                               lambda src, zz: lerp(src, zz, axis=0))
-    sampled = smp * lm.fluid_i                      # (Dl, H, W)
+    sampled = smp * lm.fluid_i                      # (Dl, Hl, W)
     out = jnp.zeros_like(prev).at[1:-1, 1:-1, 1:-1].set(sampled)
     return out
 
 
-def _advect_fast(prev_fields, vx, vy, vz, lm, params, n, i):
+def _advect_fast(prev_fields, vx, vy, vz, lm, params, n, i, ny=1, iy=0):
     """Sharded mode='fast': one shared backtrace through the projected
     velocity (windtunnel.simulation_step fast branch), trilinear gather of
     each all-gathered prev field. Returns interiors in input order."""
     p = params
     Dl = vx.shape[0] - 2
+    Hl = vx.shape[1] - 2
     vx_i = vx[1:-1, 1:-1, 1:-1]
     vy_i = vy[1:-1, 1:-1, 1:-1]
     vz_i = vz[1:-1, 1:-1, 1:-1]
-    xb, yb, _ = backtrace(vx_i, vy_i, vz_i, p.dt, p.width, p.height, Dl,
-                          vx.dtype)
-    zi_g = (jnp.arange(1, Dl + 1, dtype=vx.dtype).reshape(Dl, 1, 1)
-            + (i * Dl).astype(vx.dtype))
-    dtD = np.float32(p.dt) * np.float32(p.depth)
-    zb = jnp.clip(zi_g - jnp.asarray(dtD, vx.dtype) * vz_i,
-                  jnp.asarray(0.5, vx.dtype),
-                  jnp.asarray(np.float32(p.depth) + np.float32(0.5),
-                              vx.dtype))
+    xb, _, _ = backtrace(vx_i, vy_i, vz_i, p.dt, p.width, Hl, Dl, vx.dtype)
+    yb = _coord_backtrace(vy_i, Hl, iy * Hl, p.height, p.dt, vx.dtype, 1)
+    zb = _coord_backtrace(vz_i, Dl, i * Dl, p.depth, p.dt, vx.dtype, 0)
     smps = _z_lerp_dispatch(
-        list(prev_fields), zb, n, i, p,
+        [_gather_y(f, ny) for f in prev_fields], zb, n, i, p,
         lambda src, zz: trilinear_gather(src, xb, yb, zz))
     return [s * lm.fluid_i for s in smps]
 
 
-def _apply_confinement_local(vx, vy, vz, lm, params, n, i):
+def _apply_confinement_local(vx, vy, vz, lm, params, n, i, ny=1, iy=0):
     """Sharded vorticity confinement (ops/vorticity.py slab-local): the curl
     reads the velocity halos (valid in the carried state); the |omega|
     gradient needs one extra halo exchange of the padded magnitude, whose
@@ -549,25 +596,27 @@ def _apply_confinement_local(vx, vy, vz, lm, params, n, i):
     wz_i = central(vy, 2) - central(vx, 1)
     mag_i = jnp.sqrt(wx_i * wx_i + wy_i * wy_i + wz_i * wz_i)
     mag = jnp.zeros_like(vx).at[1:-1, 1:-1, 1:-1].set(mag_i)
-    mag = _exchange_interior(mag, n, i)
+    mag = _exchange_interior(mag, n, i, ny, iy)
 
     gx = central(mag, 2)
     gy = central(mag, 1)
     gz = central(mag, 0)
     norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + jnp.asarray(1e-5, dtype)
-    nx, ny, nz = gx / norm, gy / norm, gz / norm
+    # 'u' prefix: plain nx/ny/nz would shadow the mesh-axis parameters
+    unx, uny, unz = gx / norm, gy / norm, gz / norm
 
     keep = lm.keep_vel[1:-1, 1:-1, 1:-1]
     s = jnp.asarray(np.float32(p.vorticity) * np.float32(p.dt), dtype) * keep
-    vx = vx.at[1:-1, 1:-1, 1:-1].add(s * (ny * wz_i - nz * wy_i))
-    vy = vy.at[1:-1, 1:-1, 1:-1].add(s * (nz * wx_i - nx * wz_i))
-    vz = vz.at[1:-1, 1:-1, 1:-1].add(s * (nx * wy_i - ny * wx_i))
+    vx = vx.at[1:-1, 1:-1, 1:-1].add(s * (uny * wz_i - unz * wy_i))
+    vy = vy.at[1:-1, 1:-1, 1:-1].add(s * (unz * wx_i - unx * wz_i))
+    vz = vz.at[1:-1, 1:-1, 1:-1].add(s * (unx * wy_i - uny * wx_i))
     # interior changed; single-chip ghost faces keep pre-confinement mirrors
     # (simulation_step applies no set_bounds between confinement and the
     # second projection) while interior-slab halos must be the neighbors'
     # post-confinement rows
-    return (_exchange_interior(vx, n, i), _exchange_interior(vy, n, i),
-            _exchange_interior(vz, n, i))
+    return (_exchange_interior(vx, n, i, ny, iy),
+            _exchange_interior(vy, n, i, ny, iy),
+            _exchange_interior(vz, n, i, ny, iy))
 
 
 def _divergence_local(vx, vy, vz, lm, h, dtype):
@@ -592,16 +641,16 @@ def _gradient(pfield, mask_p, mask_m, shift_p, shift_m, h, dtype):
             + (mask_m - both) * ((p_i - p_m) * inv_h))
 
 
-def _project(vx, vy, vz, lm, params, n, i):
+def _project(vx, vy, vz, lm, params, n, i, ny=1, iy=0):
     p = params
     dtype = vx.dtype
     h = grid_h(p.width, p.height, p.depth)
     div_i = _divergence_local(vx, vy, vz, lm, h, dtype)
     div = jnp.zeros_like(vx).at[1:-1, 1:-1, 1:-1].set(div_i)
-    div = _set_bounds_ex(0, div, lm.keep_scalar, p.wall_mode, n, i)
+    div = _set_bounds_ex(0, div, lm.keep_scalar, p.wall_mode, n, i, ny, iy)
     pr = jnp.zeros_like(vx)   # set_bounds(0, zeros) is zeros (simulation.cpp:319)
     pr = _solve(0, pr, div, 1.0, 6.0, lm, lm.keep_scalar, p.acc, p.solver,
-                p.wall_mode, n, i, use_pallas=p.use_pallas)
+                p.wall_mode, n, i, use_pallas=p.use_pallas, ny=ny, iy=iy)
     xp, xm, yp, ym, zp, zm = lm.nb
     gx = _gradient(pr, xp, xm, lambda q: q[1:-1, 1:-1, 2:],
                    lambda q: q[1:-1, 1:-1, :-2], h, dtype)
@@ -613,23 +662,32 @@ def _project(vx, vy, vz, lm, params, n, i):
     vx = vx.at[1:-1, 1:-1, 1:-1].add(-gx * fl)
     vy = vy.at[1:-1, 1:-1, 1:-1].add(-gy * fl)
     vz = vz.at[1:-1, 1:-1, 1:-1].add(-gz * fl)
-    vx = _set_bounds_ex(1, vx, lm.keep_vel, p.wall_mode, n, i)
-    vy = _set_bounds_ex(2, vy, lm.keep_vel, p.wall_mode, n, i)
-    vz = _set_bounds_ex(3, vz, lm.keep_vel, p.wall_mode, n, i)
+    vx = _set_bounds_ex(1, vx, lm.keep_vel, p.wall_mode, n, i, ny, iy)
+    vy = _set_bounds_ex(2, vy, lm.keep_vel, p.wall_mode, n, i, ny, iy)
+    vz = _set_bounds_ex(3, vz, lm.keep_vel, p.wall_mode, n, i, ny, iy)
     return vx, vy, vz, pr, div
 
 
-def _local_step(state: FluidState, solid, params: SimParams
-                ) -> Tuple[FluidState, StepStats]:
+def _local_step(state: FluidState, solid, params: SimParams,
+                with_y_axis: bool = False) -> Tuple[FluidState, StepStats]:
     """One full time step on the local padded slab (models/windtunnel.py
-    simulation_step, slab-local). All arrays carry valid halos in and out."""
+    simulation_step, slab-local). All arrays carry valid halos in and out.
+    With ``with_y_axis`` the surrounding mesh has an additional 'y' axis and
+    the slab is a (z, y) tile (VERDICT r2 #8)."""
     p = params
     if p.mode not in ("compat", "split", "fast"):
         raise ValueError(f"unknown mode {p.mode!r}")
     n = lax.axis_size(AXIS)
     i = lax.axis_index(AXIS)
+    if with_y_axis:
+        ny = lax.axis_size(AXIS_Y)
+        iy = lax.axis_index(AXIS_Y)
+    else:
+        ny, iy = 1, 0
     Dl = state.vx.shape[0] - 2
-    lm = _local_masks(solid, n, i, p.depth, p.height, p.width, Dl)
+    Hl = state.vx.shape[1] - 2
+    lm = _local_masks(solid, n, i, p.depth, p.height, p.width, Dl,
+                      ny=ny, iy=iy, Hl=Hl)
 
     vx, vy, vz, dens = state
     dens = dens.at[1:-1, 1:-1, 1].add(
@@ -638,67 +696,87 @@ def _local_step(state: FluidState, solid, params: SimParams
     vy = vy.at[1:-1, 1:-1, 1].set(0.0)
     vz = vz.at[1:-1, 1:-1, 1].set(0.0)
     # inlets rewrite interiors -> refresh halos before anything reads them
-    vx = _exchange_interior(vx, n, i)
-    vy = _exchange_interior(vy, n, i)
-    vz = _exchange_interior(vz, n, i)
-    dens = _exchange_interior(dens, n, i)
+    vx = _exchange_interior(vx, n, i, ny, iy)
+    vy = _exchange_interior(vy, n, i, ny, iy)
+    vz = _exchange_interior(vz, n, i, ny, iy)
+    dens = _exchange_interior(dens, n, i, ny, iy)
     buffer = dens
     pvx, pvy, pvz = vx, vy, vz
 
     vel_diff = p.visc if p.use_visc_for_velocity else p.diff
     a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt, vel_diff)
     vx = _solve(1, vx, pvx, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i, use_pallas=p.use_pallas)
+                p.wall_mode, n, i, use_pallas=p.use_pallas, ny=ny, iy=iy)
     vy = _solve(2, vy, pvy, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i, use_pallas=p.use_pallas)
+                p.wall_mode, n, i, use_pallas=p.use_pallas, ny=ny, iy=iy)
     vz = _solve(3, vz, pvz, a, c, lm, lm.keep_vel, p.acc, p.solver,
-                p.wall_mode, n, i, use_pallas=p.use_pallas)
+                p.wall_mode, n, i, use_pallas=p.use_pallas, ny=ny, iy=iy)
 
-    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
+    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i, ny, iy)
 
     if p.mode == "split":
         outs = []
         for b, prev in ((1, pvx), (2, pvy), (3, pvz)):
             f = _advect_split_local(prev, vx, vy, vz, lm, lm.keep_vel,
-                                    p, n, i)
-            outs.append(_set_bounds_ex(b, f, lm.keep_vel, p.wall_mode, n, i))
+                                    p, n, i, ny, iy)
+            outs.append(_set_bounds_ex(b, f, lm.keep_vel, p.wall_mode, n, i,
+                                       ny, iy))
         vx, vy, vz = outs
     elif p.mode == "fast":
-        smp = _advect_fast((pvx, pvy, pvz), vx, vy, vz, lm, p, n, i)
+        smp = _advect_fast((pvx, pvy, pvz), vx, vy, vz, lm, p, n, i, ny, iy)
         outs = []
         for b, s_i in zip((1, 2, 3), smp):
             f = jnp.zeros_like(vx).at[1:-1, 1:-1, 1:-1].set(s_i)
-            outs.append(_set_bounds_ex(b, f, lm.keep_vel, p.wall_mode, n, i))
+            outs.append(_set_bounds_ex(b, f, lm.keep_vel, p.wall_mode, n, i,
+                                       ny, iy))
         vx, vy, vz = outs
     else:
-        vx2 = _advect(1, pvx, vx, vy, vz, lm, lm.keep_vel, p, n, i)
-        vy2 = _advect(2, pvy, vx2, vy, vz, lm, lm.keep_vel, p, n, i)
-        vz2 = _advect(3, pvz, vx2, vy2, vz, lm, lm.keep_vel, p, n, i)
+        vx2 = _advect(1, pvx, vx, vy, vz, lm, lm.keep_vel, p, n, i, ny, iy)
+        vy2 = _advect(2, pvy, vx2, vy, vz, lm, lm.keep_vel, p, n, i, ny, iy)
+        vz2 = _advect(3, pvz, vx2, vy2, vz, lm, lm.keep_vel, p, n, i, ny, iy)
         vx, vy, vz = vx2, vy2, vz2
 
     if p.vorticity:
-        vx, vy, vz = _apply_confinement_local(vx, vy, vz, lm, p, n, i)
+        vx, vy, vz = _apply_confinement_local(vx, vy, vz, lm, p, n, i,
+                                              ny, iy)
 
-    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i)
+    vx, vy, vz, _, _ = _project(vx, vy, vz, lm, p, n, i, ny, iy)
 
     if p.mode == "split":
         dens = _advect_split_local(buffer, vx, vy, vz, lm, lm.keep_scalar,
-                                   p, n, i)
-        dens = _set_bounds_ex(0, dens, lm.keep_scalar, p.wall_mode, n, i)
+                                   p, n, i, ny, iy)
+        dens = _set_bounds_ex(0, dens, lm.keep_scalar, p.wall_mode, n, i,
+                              ny, iy)
     else:
-        dens = _advect(0, buffer, vx, vy, vz, lm, lm.keep_scalar, p, n, i)
+        dens = _advect(0, buffer, vx, vy, vz, lm, lm.keep_scalar, p, n, i,
+                       ny, iy)
 
-    # stats: interior + global ghost slabs (edge ranks only), summed over chips
+    # stats: each rank sums only the global cells it owns — interior always,
+    # ghost planes/columns on the global-edge ranks (corner lines only on
+    # corner ranks) — then psum over every mesh axis
+    axes = (AXIS, AXIS_Y) if with_y_axis else (AXIS,)
+
     def global_sum(f):
-        s = jnp.sum(f[1:-1], dtype=jnp.float32)
-        s = s + jnp.where(i == 0, jnp.sum(f[0], dtype=jnp.float32), 0.0)
-        s = s + jnp.where(i == n - 1, jnp.sum(f[-1], dtype=jnp.float32), 0.0)
-        return lax.psum(s, AXIS)
+        own_y0 = jnp.asarray(iy == 0, jnp.float32)
+        own_yH = jnp.asarray(iy == ny - 1, jnp.float32)
+
+        def plane_sum(pl):
+            s = jnp.sum(pl[:, 1:-1], dtype=jnp.float32)
+            s = s + own_y0 * jnp.sum(pl[:, 0], dtype=jnp.float32)
+            s = s + own_yH * jnp.sum(pl[:, -1], dtype=jnp.float32)
+            return s
+
+        s = jnp.sum(f[1:-1, 1:-1], dtype=jnp.float32) \
+            + own_y0 * jnp.sum(f[1:-1, 0], dtype=jnp.float32) \
+            + own_yH * jnp.sum(f[1:-1, -1], dtype=jnp.float32)
+        s = s + jnp.where(i == 0, plane_sum(f[0][None]), 0.0)
+        s = s + jnp.where(i == n - 1, plane_sum(f[-1][None]), 0.0)
+        return lax.psum(s, axes)
 
     h = grid_h(p.width, p.height, p.depth)
     div_res = jnp.max(jnp.abs(_divergence_local(vx, vy, vz, lm, h, vx.dtype)))
     stats = StepStats(density_sum=global_sum(dens),
-                      max_divergence=lax.pmax(div_res, AXIS))
+                      max_divergence=lax.pmax(div_res, axes))
     return FluidState(vx, vy, vz, dens), stats
 
 
@@ -724,42 +802,81 @@ def stitch_padded(stacked: np.ndarray) -> np.ndarray:
         [stacked[0, :1], interiors, stacked[n - 1, -1:]], axis=0)
 
 
+def split_padded_2d(global_padded: np.ndarray, nz: int, ny: int) -> np.ndarray:
+    """(D+2, H+2, W+2) -> (nz, ny, Dl+2, Hl+2, W+2) overlapping (z, y)
+    tiles for the 2-D mesh."""
+    D, H = global_padded.shape[0] - 2, global_padded.shape[1] - 2
+    if D % nz or H % ny:
+        raise ValueError(f"grid {D}x{H} not divisible by mesh {nz}x{ny}")
+    Dl, Hl = D // nz, H // ny
+    return np.stack([
+        np.stack([global_padded[r * Dl: r * Dl + Dl + 2,
+                                q * Hl: q * Hl + Hl + 2]
+                  for q in range(ny)])
+        for r in range(nz)])
+
+
+def stitch_padded_2d(stacked: np.ndarray) -> np.ndarray:
+    """Inverse of split_padded_2d: (nz, ny, Dl+2, Hl+2, W+2) -> global."""
+    nz, ny = stacked.shape[:2]
+    # stitch y within each (z-rank, z-row): interior cols + edge ghosts
+    yin = stacked[:, :, :, 1:-1]                   # (nz, ny, Dl+2, Hl, W2)
+    yfull = np.concatenate(
+        [stacked[:, 0, :, :1]]
+        + [yin[:, q] for q in range(ny)]
+        + [stacked[:, ny - 1, :, -1:]], axis=2)    # (nz, Dl+2, H+2, W2)
+    return stitch_padded(yfull)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "mesh", "steps", "record"))
 def simulate_sharded(stacked_state: FluidState, stacked_solid, params, mesh,
                      steps: int, record: bool = False):
     """Scan `steps` sharded steps. Inputs are stacked (n_z, Dl+2, H+2, W+2)
-    arrays sharded on axis 0 over the mesh's 'z' axis. With ``record`` the
-    per-step stacked states stream out as scan outputs (axis order
-    (steps, n_z, Dl+2, H+2, W+2), still sharded over the mesh) — the sharded
-    analog of models.windtunnel.simulate(record=True)."""
+    arrays sharded on axis 0 over the mesh's 'z' axis — or, on a 2-D
+    ('z', 'y') mesh, (n_z, n_y, Dl+2, Hl+2, W+2) sharded on axes 0 and 1.
+    With ``record`` the per-step stacked states stream out as scan outputs
+    (leading steps axis, still sharded over the mesh) — the sharded analog
+    of models.windtunnel.simulate(record=True)."""
+    with_y = AXIS_Y in mesh.axis_names
+    nlead = 2 if with_y else 1
+    spec = P(AXIS, AXIS_Y) if with_y else P(AXIS)
 
     def step_stacked(st, solid):
         def body(state_l, solid_l):
-            state_l = jax.tree_util.tree_map(lambda x: x[0], state_l)
-            new, stats = _local_step(state_l, solid_l[0], params)
-            return (jax.tree_util.tree_map(lambda x: x[None], new),
-                    jax.tree_util.tree_map(lambda x: x[None], stats))
+            def sq(x):
+                return x[0, 0] if with_y else x[0]
+
+            def ex(x):
+                return x[None, None] if with_y else x[None]
+            state_l = jax.tree_util.tree_map(sq, state_l)
+            new, stats = _local_step(state_l, sq(solid_l), params,
+                                     with_y_axis=with_y)
+            return (jax.tree_util.tree_map(ex, new),
+                    jax.tree_util.tree_map(ex, stats))
         # check_vma=False: pallas_call outputs carry no varying-across-mesh
         # annotation, which the vma checker (newer JAX) rejects inside
         # shard_map; the collective structure is asserted by the parity
         # tests instead.
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P(AXIS)), check_vma=False)(st, solid)
+            body, mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, spec), check_vma=False)(st, solid)
 
     def scan_body(st, _):
         st, stats = step_stacked(st, stacked_solid)
         # one copy of the (replicated-by-psum) stats is enough
-        stats = jax.tree_util.tree_map(lambda x: x[0], stats)
+        stats = jax.tree_util.tree_map(
+            lambda x: x[(0, 0) if with_y else 0], stats)
         return st, ((stats, st) if record else stats)
 
     return lax.scan(scan_body, stacked_state, None, length=steps)
 
 
 def _stitch_steps(arr: np.ndarray) -> np.ndarray:
-    """(steps, n, Dl+2, H+2, W+2) recorded frames -> (steps, D+2, H+2, W+2)
-    global padded frames (vectorized stitch_padded)."""
+    """(steps, n[, ny], ...) recorded frames -> (steps, D+2, H+2, W+2)
+    global padded frames (vectorized stitch)."""
+    if arr.ndim == 6:                              # 2-D mesh recording
+        return np.stack([stitch_padded_2d(a) for a in arr])
     steps, n = arr.shape[:2]
     interiors = arr[:, :, 1:-1].reshape(steps, -1, *arr.shape[3:])
     return np.concatenate([arr[:, 0, :1], interiors, arr[:, n - 1, -1:]],
@@ -767,26 +884,43 @@ def _stitch_steps(arr: np.ndarray) -> np.ndarray:
 
 
 class ShardedWindTunnel:
-    """Multi-chip wind tunnel over a 1-D z mesh (BASELINE config 5)."""
+    """Multi-chip wind tunnel over a 1-D z mesh, or a 2-D (z, y) mesh when
+    ``mesh_shape=(nz, ny)`` is given (BASELINE config 5; VERDICT r2 #8)."""
 
     def __init__(self, params: SimParams, obstacles: Optional[np.ndarray] = None,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 mesh_shape: Optional[Tuple[int, int]] = None):
         devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
-        self.mesh = Mesh(np.array(devs), axis_names=(AXIS,))
-        self.n = len(devs)
+        if mesh_shape is None:
+            mesh_shape = (len(devs), 1)
+        self.nz, self.ny = mesh_shape
+        if self.nz * self.ny > len(devs):
+            raise ValueError(f"mesh {mesh_shape} needs {self.nz * self.ny} "
+                             f"devices, have {len(devs)}")
+        devs = devs[: self.nz * self.ny]
+        if self.ny == 1:
+            self.mesh = Mesh(np.array(devs), axis_names=(AXIS,))
+        else:
+            self.mesh = Mesh(np.array(devs).reshape(self.nz, self.ny),
+                             axis_names=(AXIS, AXIS_Y))
+        self.n = self.nz
         self.params = params
         if obstacles is None:
             obstacles = np.zeros(params.padded_shape, np.float32)
         self.obstacles = np.asarray(obstacles, np.float32)
         dtype = jnp.bfloat16 if params.dtype == "bfloat16" else np.float32
         solid = (self.obstacles >= 0.5).astype(dtype)
-        self.solid_stacked = self._shard(split_padded(solid, self.n))
-        zeros = split_padded(np.zeros(params.padded_shape, dtype), self.n)
+        self.solid_stacked = self._shard(self._split(solid))
+        zeros = self._split(np.zeros(params.padded_shape, dtype))
         self.state = FluidState(*[self._shard(zeros.copy()) for _ in range(4)])
 
+    def _split(self, g: np.ndarray) -> np.ndarray:
+        return (split_padded(g, self.nz) if self.ny == 1
+                else split_padded_2d(g, self.nz, self.ny))
+
     def _shard(self, stacked: np.ndarray):
-        sh = NamedSharding(self.mesh, P(AXIS))
-        return jax.device_put(stacked, sh)
+        spec = P(AXIS) if self.ny == 1 else P(AXIS, AXIS_Y)
+        return jax.device_put(stacked, NamedSharding(self.mesh, spec))
 
     def simulate(self, steps: int, record: bool = False):
         """Advance ``steps``. With ``record`` also returns the per-step
@@ -806,38 +940,53 @@ class ShardedWindTunnel:
         return self.state, stats
 
     def render_slice(self, z: int, kind: str = "dens") -> np.ndarray:
-        """Render one global-padded z-slice to RGB on the device mesh: the
+        """Render one global-padded z-slice to RGB on the device mesh: each
         owning rank colormaps its local plane (KB-sized) and the image is
-        shared by psum — no full-field gather (VERDICT r2 missing#1).
+        assembled by psum — no full-field gather (VERDICT r2 missing#1).
         ``z`` is a global padded index in [0, D+1]."""
         from fluid_simulation_tpu.viz.slices import colormap_slice
         p = self.params
-        Dl = p.depth // self.n
+        nz, ny = self.nz, self.ny
+        Dl = p.depth // nz
+        Hl = p.height // ny
         if not 0 <= z <= p.depth + 1:
             raise ValueError(f"z={z} outside padded [0, {p.depth + 1}]")
-        # rank owning padded plane z (edge ghosts live on the edge ranks)
-        owner = min(max(z - 1, 0) // Dl, self.n - 1)
+        # z-rank owning padded plane z (edge ghosts live on the edge ranks)
+        owner = min(max(z - 1, 0) // Dl, nz - 1)
         local_z = z - owner * Dl
+        with_y = ny > 1
+        spec = P(AXIS, AXIS_Y) if with_y else P(AXIS)
 
         def body(field_st, solid_st):
             i = lax.axis_index(AXIS)
-            sl = lax.dynamic_index_in_dim(field_st[0], local_z, axis=0,
+            sq = (lambda x: x[0, 0]) if with_y else (lambda x: x[0])
+            sl = lax.dynamic_index_in_dim(sq(field_st), local_z, axis=0,
                                           keepdims=False)
-            ob = lax.dynamic_index_in_dim(solid_st[0], local_z, axis=0,
+            ob = lax.dynamic_index_in_dim(sq(solid_st), local_z, axis=0,
                                           keepdims=False)
             img = colormap_slice(sl, ob, kind).astype(jnp.int32)
+            if with_y:
+                iy = lax.axis_index(AXIS_Y)
+                canvas = jnp.zeros((p.height + 2, p.width + 2, 3), jnp.int32)
+                canvas = lax.dynamic_update_slice(
+                    canvas, img[1:-1], (1 + iy * Hl, 1 - 1, 0))
+                row0 = jnp.where(iy == 0, img[0], canvas[0])
+                rowH = jnp.where(iy == ny - 1, img[-1], canvas[-1])
+                canvas = canvas.at[0].set(row0).at[-1].set(rowH)
+                img = canvas
             img = jnp.where(i == owner, img, 0)
-            return lax.psum(img, AXIS)
+            return lax.psum(img, (AXIS, AXIS_Y) if with_y else AXIS)
 
         field = getattr(self.state, kind)
         out = jax.jit(jax.shard_map(
-            body, mesh=self.mesh, in_specs=(P(AXIS), P(AXIS)),
+            body, mesh=self.mesh, in_specs=(spec, spec),
             out_specs=P(), check_vma=False))(field, self.solid_stacked)
         return np.asarray(out).astype(np.uint8)
 
     def global_state(self) -> FluidState:
         """Stitch the sharded slabs back to the single-chip padded layout."""
-        return FluidState(*[stitch_padded(np.asarray(f)) for f in self.state])
+        stitch = stitch_padded if self.ny == 1 else stitch_padded_2d
+        return FluidState(*[stitch(np.asarray(f)) for f in self.state])
 
     def collective_bytes_per_step(self) -> dict:
         """Static accounting of per-chip ICI traffic per step (VERDICT r1

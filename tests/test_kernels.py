@@ -342,3 +342,42 @@ def test_solve_dispatch_gates():
     # on CPU both TPU gates must refuse (tests run the jnp oracle)
     assert not pallas_solve_supported(flagship)
     assert not pallas_stream_solve_supported(big)
+
+
+def test_cpack_solve_matches_packed_interpret():
+    """Color-packed (x-checkerboard) solve == packed resident kernel:
+    bitwise with a keep mask; empty-scene differs only by interpret-mode
+    FMA contraction (~1 ulp; bitwise on chip per tools/exp_cpack.py)."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.linsolve_cpack import (
+        pallas_rbgs_solve_cpack, pack_colors, unpack_colors)
+    from fluid_simulation_tpu.kernels.linsolve_pallas import pallas_rbgs_solve
+
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=(6, 5, 8)).astype(np.float32)
+    R, B = pack_colors(jnp.asarray(f))
+    np.testing.assert_array_equal(np.asarray(unpack_colors(R, B)), f)
+
+    for shape, b, empty, acc in [((8, 6, 10), 1, True, 5),
+                                 ((8, 6, 10), 0, False, 5),
+                                 ((6, 8, 12), 2, False, 15),
+                                 ((10, 4, 8), 3, True, 15)]:
+        D2, H2, W2 = shape
+        field = rng.normal(size=shape).astype(np.float32)
+        prev = rng.normal(size=shape).astype(np.float32)
+        if empty:
+            keep = None
+        else:
+            keep = np.ones(shape, np.float32)
+            sol = rng.random(size=(D2 - 2, H2 - 2, W2 - 2)) < 0.2
+            keep[1:-1, 1:-1, 1:-1] = (~sol).astype(np.float32)
+        kj = None if empty else jnp.asarray(keep)
+        want = np.asarray(pallas_rbgs_solve(
+            b, jnp.asarray(field), jnp.asarray(prev), kj, 0.3, 2.8,
+            acc=acc, interpret=True, empty_scene=empty, packed=True))
+        got = np.asarray(pallas_rbgs_solve_cpack(
+            b, jnp.asarray(field), jnp.asarray(prev), kj, 0.3, 2.8,
+            acc=acc, interpret=True, empty_scene=empty))
+        atol = 0.0 if not empty else 2e-7
+        np.testing.assert_allclose(got, want, rtol=0, atol=atol,
+                                   err_msg=f"{shape} b={b} empty={empty}")
