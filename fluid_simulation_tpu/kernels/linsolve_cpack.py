@@ -276,6 +276,10 @@ def pallas_rbgs_solve_cpack(b: int, field: jnp.ndarray, prev: jnp.ndarray,
 
     out_i = unpack_colors(R, Bc)
     pre = unpack_colors(Rpre, Bpre)
+    return _rebuild_padded(field, f1, out_i, pre, sx, sy, sz)
+
+
+def _rebuild_padded(field, f1, out_i, pre, sx, sy, sz):
     # rebuild the padded layout: final ghost faces = signed mirrors of the
     # final pre-keep edges (identical to the packed kernel's face writes);
     # ghost EDGES/CORNERS (two+ ghost coords) are never rewritten by any
@@ -290,3 +294,260 @@ def pallas_rbgs_solve_cpack(b: int, field: jnp.ndarray, prev: jnp.ndarray,
     out = out.at[0, 1:-1, 1:-1].set(np.float32(sz) * pre[0])
     out = out.at[-1, 1:-1, 1:-1].set(np.float32(sz) * pre[-1])
     return out
+
+
+# ---------------------------------------------------------------------------
+# streaming variant (>VMEM grids, the 256^3 class)
+# ---------------------------------------------------------------------------
+
+def _pick_blk_cpack(shape, dtype, apply_keep: bool):
+    """z-block choice for the streaming kernel, or None. Budget mirrors
+    linsolve_stream's empirically-calibrated row-unit model on half-width
+    rows: per block row we stream ~5 half-windows double-buffered plus the
+    ext/pw scratch; 22 half-row units is conservative."""
+    D, H, W = (n - 2 for n in shape)
+    if W % 2 or (W // 2) % 128:
+        return None
+    it = _itemsize(dtype)
+    rb = _tiled_bytes((1, H, W // 2), it)
+    units = 22 if apply_keep else 19
+    for blk in (16, 8):
+        if blk > D:
+            continue
+        if units * blk * rb <= VMEM_BUDGET_BYTES:
+            return blk
+    return None
+
+
+def cpack_stream_supported(shape, dtype=jnp.float32,
+                           apply_keep: bool = True) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if len(shape) != 3 or min(shape) < 6:
+        return False
+    return _pick_blk_cpack(shape, dtype, apply_keep) is not None
+
+
+def _make_cpack_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
+                             interior, blk: int, dtype, apply_keep: bool):
+    """One full color-packed sweep over a z-block grid.
+
+    Carried state between sweeps: the PRE-KEEP halves (Rpre, Bpre). The
+    kernel assembles the post-keep black base (Bpre * KB — the only
+    post-keep values any sweep reads; a red cell's post-keep value is never
+    a red-update input, its neighbors are all black), updates red on block
+    rows ±1 (the halo recompute that meets the cross-block z dependency),
+    then black on the block rows, and emits the new pre-keep halves."""
+    D, H, W = interior
+    Wh = W // 2
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx, sy, sz = (-1.0 if b == 1 else 1.0), -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+    hb = min(8, blk)
+
+    def body(bplo, bpmid, bphi, rplo, rpmid, rphi, prlo, prmid, prhi,
+             pbmid, kblo, kbmid, kbhi, out_r, out_b, extb, pwr, newr):
+        k = pl.program_id(0)
+        # scratch row e <-> interior z row  gz = k*blk - 2 + e
+        pwb_lo = bplo[hb - 2:]
+        pwb_hi = bphi[:2]
+        if apply_keep:
+            extb[0:2] = pwb_lo * kblo[hb - 2:]
+            extb[2:blk + 2] = bpmid[...] * kbmid[...]
+            extb[blk + 2:] = pwb_hi * kbhi[:2]
+        else:
+            extb[0:2] = pwb_lo
+            extb[2:blk + 2] = bpmid[...]
+            extb[blk + 2:] = pwb_hi
+        # Bpre window (ghost reads in the black half, rows [2, blk+1])
+        pwb_mid = bpmid
+        # Rpre window rows [1, blk+2]
+        pwr[0:2] = rplo[hb - 2:]
+        pwr[2:blk + 2] = rpmid[...]
+        pwr[blk + 2:] = rphi[:2]
+        rhs_r = jnp.concatenate([prlo[hb - 1:], prmid[...], prhi[:1]],
+                                axis=0)          # rows [1, blk+2]
+
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+        sxc = jnp.asarray(sx, dtype)
+        syc = jnp.asarray(sy, dtype)
+        szc = jnp.asarray(sz, dtype)
+
+        def xsel(other_rows, pre_rows, iy, i2, pr0, upd_red):
+            p1 = _roll(other_rows, 1, 2)
+            m1 = _roll(other_rows, Wh - 1, 2)
+            p1 = jnp.where(i2 == 0, sxc * pre_rows, p1)
+            m1 = jnp.where(i2 == Wh - 1, pre_rows, m1)
+            if upd_red:
+                xp = jnp.where(pr0, other_rows, m1)
+                xm = jnp.where(pr0, p1, other_rows)
+            else:
+                xp = jnp.where(pr0, m1, other_rows)
+                xm = jnp.where(pr0, other_rows, p1)
+            return xp, xm
+
+        def iotas(n, lo_e):
+            iz = jax.lax.broadcasted_iota(jnp.int32, (n, H, Wh), 0)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (n, H, Wh), 1)
+            i2 = jax.lax.broadcasted_iota(jnp.int32, (n, H, Wh), 2)
+            gz = iz + (k * blk - 2 + lo_e)
+            pr0 = ((gz + iy) % 2) == 1       # pr == 0 <=> (1+z+y)%2 == 0
+            return gz, iy, i2, pr0
+
+        # ---- red half on scratch rows [1, blk+2]
+        nR = blk + 2
+        gz, iy, i2, pr0 = iotas(nR, 1)
+        other = extb[1:blk + 3]
+        pre = pwr[1:blk + 3]
+        xp, xm = xsel(other, pre, iy, i2, pr0, True)
+        yp = jnp.where(iy == H - 1, syc * pre, _roll(other, H - 1, 1))
+        ym = jnp.where(iy == 0, syc * pre, _roll(other, 1, 1))
+        zp = jnp.where(gz == D - 1, szc * pre, extb[2:blk + 4])
+        zm = jnp.where(gz == 0, szc * pre, extb[0:blk + 2])
+        s = (((xp + xm) + yp) + ym + zp) + zm
+        updR = (rhs_r + a_c * s) * crec
+        inb = (gz >= 0) & (gz <= D - 1)
+        newr[1:blk + 3] = jnp.where(inb, updR, pre)
+
+        # ---- black half on scratch rows [2, blk+1] (the block rows)
+        nB = blk
+        gz, iy, i2, pr0 = iotas(nB, 2)
+        other = newr[2:blk + 2]
+        pre = pwb_mid[...]
+        xp, xm = xsel(other, pre, iy, i2, pr0, False)
+        yp = jnp.where(iy == H - 1, syc * pre, _roll(other, H - 1, 1))
+        ym = jnp.where(iy == 0, syc * pre, _roll(other, 1, 1))
+        zp = jnp.where(gz == D - 1, szc * pre, newr[3:blk + 3])
+        zm = jnp.where(gz == 0, szc * pre, newr[1:blk + 1])
+        s = (((xp + xm) + yp) + ym + zp) + zm
+        updB = (pbmid[...] + a_c * s) * crec
+        inb = (gz >= 0) & (gz <= D - 1)
+        out_b[...] = jnp.where(inb, updB, pre)
+        out_r[...] = newr[2:blk + 2]
+
+    if apply_keep:
+        def kernel(bplo, bpmid, bphi, rplo, rpmid, rphi, prlo, prmid, prhi,
+                   pbmid, kblo, kbmid, kbhi, out_r, out_b, extb, pwr, newr):
+            body(bplo, bpmid, bphi, rplo, rpmid, rphi, prlo, prmid, prhi,
+                 pbmid, kblo, kbmid, kbhi, out_r, out_b, extb, pwr, newr)
+    else:
+        def kernel(bplo, bpmid, bphi, rplo, rpmid, rphi, prlo, prmid, prhi,
+                   pbmid, out_r, out_b, extb, pwr, newr):
+            body(bplo, bpmid, bphi, rplo, rpmid, rphi, prlo, prmid, prhi,
+                 pbmid, None, None, None, out_r, out_b, extb, pwr, newr)
+    return kernel
+
+
+def make_cpack_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
+                          blk, interpret):
+    """Per-sweep pallas_call over the color halves:
+    ``call(Bpre x3, Rpre x3, PR x3, PB, [KB x3])`` -> (Rpre', Bpre')."""
+    D, H, W = interior
+    Wh = W // 2
+    nblk = -(-D // blk)
+    kernel = _make_cpack_sweep_kernel(b, a, c, wall_mode, interior, blk,
+                                      dtype, apply_keep)
+    hb = min(8, blk)
+    r = blk // hb
+    nhb = -(-D // hb)
+    mid = pl.BlockSpec((blk, H, Wh), lambda k: (k, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lo = pl.BlockSpec((hb, H, Wh),
+                      lambda k: (jnp.maximum(k * r - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((hb, H, Wh),
+                      lambda k: (jnp.minimum(k * r + r, nhb - 1), 0, 0),
+                      memory_space=pltpu.VMEM)
+    in_specs = [lo, mid, hi] * 3 + [mid]
+    if apply_keep:
+        in_specs += [lo, mid, hi]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    half = jax.ShapeDtypeStruct((D, H, Wh), dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=[half, half],
+        in_specs=in_specs,
+        out_specs=[mid, mid],
+        scratch_shapes=[pltpu.VMEM((blk + 4, H, Wh), dtype)
+                        for _ in range(3)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * int(np.prod(interior)),
+            bytes_accessed=(5 if apply_keep else 4)
+            * _tiled_bytes(interior, _itemsize(dtype)),
+            transcendentals=0),
+        **kwargs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk"))
+def pallas_rbgs_solve_cpack_stream(b: int, field, prev, keep, a: float,
+                                   c: float, acc: int = 15,
+                                   wall_mode: str = "reference",
+                                   interpret: bool = False,
+                                   empty_scene: bool = False,
+                                   blk: int | None = None):
+    """Streaming color-packed solve for >VMEM grids (the 256^3 wall:
+    half-width rows make the x shifts single-tile and halve per-sweep VPU
+    work — NOTES.md r3). Drop-in equivalent of pallas_rbgs_solve_stream."""
+    from fluid_simulation_tpu.kernels.linsolve_blocked import (
+        pallas_rbgs_solve_blocked)
+    shape = field.shape
+    dtype = field.dtype
+    apply_keep = not empty_scene
+    interior = tuple(n - 2 for n in shape)
+    D, H, W = interior
+    if blk is None:
+        blk = _pick_blk_cpack(shape, dtype, apply_keep)
+        if blk is None:
+            raise ValueError(f"no cpack-stream block fits {shape}")
+
+    # sweep 1 on the padded layout without the keep multiply: its interior
+    # is exactly the pre-keep field fpre_1 (linsolve_stream's trick)
+    pre1 = pallas_rbgs_solve_blocked(b, field, prev, None, a, c, acc=1,
+                                     wall_mode=wall_mode,
+                                     interpret=interpret, empty_scene=True)
+    fpre = pre1[1:-1, 1:-1, 1:-1]
+    Rp, Bp = pack_colors(fpre)
+    PR, PB = pack_colors(prev[1:-1, 1:-1, 1:-1])
+    KB = None
+    if apply_keep:
+        _, KB = pack_colors(keep[1:-1, 1:-1, 1:-1].astype(dtype))
+
+    if acc > 1:
+        call = make_cpack_sweep_call(b, a, c, wall_mode, interior, dtype,
+                                     apply_keep, blk, interpret)
+
+        def sweep(carry, _):
+            Rp, Bp = carry
+            ops = [Bp, Bp, Bp, Rp, Rp, Rp, PR, PR, PR, PB]
+            if apply_keep:
+                ops += [KB, KB, KB]
+            Rp2, Bp2 = call(*ops)
+            return (Rp2, Bp2), None
+
+        (Rp, Bp), _ = jax.lax.scan(sweep, (Rp, Bp), None, length=acc - 1)
+        fpre = unpack_colors(Rp, Bp)
+
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx, sy, sz = (-1.0 if b == 1 else 1.0), -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
+    out_i = fpre if empty_scene else fpre * kp
+    return _rebuild_padded(field, field, out_i, fpre, sx, sy, sz)

@@ -381,3 +381,35 @@ def test_cpack_solve_matches_packed_interpret():
         atol = 0.0 if not empty else 2e-7
         np.testing.assert_allclose(got, want, rtol=0, atol=atol,
                                    err_msg=f"{shape} b={b} empty={empty}")
+
+
+def test_masked_projection_matches_composable_interpret():
+    """Obstacle-scene fused projection (VERDICT r2 #3): bitwise vs
+    ops.project.project on sphere+box scenes, both wall modes."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.project_pallas import (
+        pallas_project_masked)
+    from fluid_simulation_tpu.ops.project import project
+    from fluid_simulation_tpu.scene.masks import build_masks
+    from fluid_simulation_tpu.scene.primitives import (
+        add_box, add_sphere, empty_obstacles)
+
+    rng = np.random.default_rng(5)
+    for dims, wall in [((12, 8, 8), "reference"), ((10, 10, 6), "noslip")]:
+        W, H, D = dims
+        obs = add_sphere(empty_obstacles(W, H, D), W // 2, H // 2, D // 2,
+                         min(W, H, D) // 4)
+        obs = add_box(np.asarray(obs), 1, 3, 1, 3, 1, 3)
+        masks = build_masks(np.asarray(obs, np.float32))
+        shape = (D + 2, H + 2, W + 2)
+        vx, vy, vz = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                      for _ in range(3))
+        want = project(vx, vy, vz, masks, acc=6, solver="rbgs",
+                       wall_mode=wall, use_pallas=False,
+                       empty_scene=False)[:3]
+        got = pallas_project_masked(vx, vy, vz, masks.fluid_i,
+                                    masks.keep_vel[1:-1, 1:-1, 1:-1],
+                                    acc=6, wall_mode=wall, interpret=True)
+        for name, a, b in zip("xyz", want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"v{name} {dims} {wall}")
