@@ -202,33 +202,57 @@ def make_icosphere_stl(path, radius=10.0, subdiv=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--keep-build", action="store_true")
+    ap.add_argument("--only", help="generate just this fixture name")
     args = ap.parse_args()
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="refgolden_")
     print("build dir:", tmp)
     exe = build(tmp)
 
-    f, _ = run_scenario(exe, tmp, "empty", 32, 16, 16, 20, extra=["empty"])
-    save_step_golden("empty_32x16x16", f, 32, 16, 16, 20)
+    def want(name):
+        return args.only is None or args.only == name
 
-    f, _ = run_scenario(exe, tmp, "box", 32, 16, 16, 20, extra=["box"])
-    save_step_golden("box_32x16x16", f, 32, 16, 16, 20)
+    if want("empty_32x16x16"):
+        f, _ = run_scenario(exe, tmp, "empty", 32, 16, 16, 20,
+                            extra=["empty"])
+        save_step_golden("empty_32x16x16", f, 32, 16, 16, 20)
+
+    if want("box_32x16x16"):
+        f, _ = run_scenario(exe, tmp, "box", 32, 16, 16, 20, extra=["box"])
+        save_step_golden("box_32x16x16", f, 32, 16, 16, 20)
 
     # BASELINE config 1 scale: 64^3 empty wind tunnel (the reference solver
     # at its fixed acc=15 GS; the rebuild compares its 20-iter Jacobi run
     # statistically — solver class differs by design, SURVEY.md §7)
-    f, _ = run_scenario(exe, tmp, "empty64", 64, 64, 64, 20, extra=["empty"])
-    save_step_golden("empty_64x64x64", f, 64, 64, 64, 20)
+    if want("empty_64x64x64"):
+        f, _ = run_scenario(exe, tmp, "empty64", 64, 64, 64, 20,
+                            extra=["empty"])
+        save_step_golden("empty_64x64x64", f, 64, 64, 64, 20)
 
-    stl = os.path.join(tmp, "icosphere.stl")
-    make_icosphere_stl(stl, radius=10.0, subdiv=1)
-    f, _ = run_scenario(exe, tmp, "stl", 64, 32, 32, 1,
-                        extra=["stl", stl, "1.0", "30", "45", "60", "2", "1", "-1"])
-    np.savez_compressed(
-        os.path.join(GOLDEN_DIR, "sphere_voxels_64x32x32.npz"),
-        obs=f["obs"][0], radius=10.0, subdiv=1,
-        scale=1.0, rot=(30.0, 45.0, 60.0), translate=(2.0, 1.0, -1.0))
-    print("saved sphere_voxels_64x32x32:", int(f["obs"][0].sum()), "solid cells")
+    if want("sphere_voxels_64x32x32"):
+        stl = os.path.join(tmp, "icosphere.stl")
+        make_icosphere_stl(stl, radius=10.0, subdiv=1)
+        f, _ = run_scenario(exe, tmp, "stl", 64, 32, 32, 1,
+                            extra=["stl", stl, "1.0", "30", "45", "60",
+                                   "2", "1", "-1"])
+        np.savez_compressed(
+            os.path.join(GOLDEN_DIR, "sphere_voxels_64x32x32.npz"),
+            obs=f["obs"][0], radius=10.0, subdiv=1,
+            scale=1.0, rot=(30.0, 45.0, 60.0), translate=(2.0, 1.0, -1.0))
+        print("saved sphere_voxels_64x32x32:", int(f["obs"][0].sum()),
+              "solid cells")
+
+    if want("stl_flow_64x32x32"):
+        # STL -> voxelize -> 20-step flow, end-to-end through the reference
+        # binary (the untested main() path, simulation.cpp:441-448 —
+        # VERDICT r2 #9). The icosphere STL fixture itself is saved next to
+        # the golden so the rebuild voxelizes the very same mesh.
+        stl = os.path.join(GOLDEN_DIR, "icosphere_r10.stl")
+        make_icosphere_stl(stl, radius=10.0, subdiv=1)
+        f, _ = run_scenario(exe, tmp, "stlflow", 64, 32, 32, 20,
+                            extra=["stl", stl, "1.0", "30", "45", "60",
+                                   "2", "1", "-1"])
+        save_step_golden("stl_flow_64x32x32", f, 64, 32, 32, 20)
 
     # the empty driver is overwritten with 'empty' scenario name default
     if not args.keep_build:
