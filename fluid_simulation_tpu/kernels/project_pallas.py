@@ -61,12 +61,7 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         svy = (1.0, -1.0, 1.0)
         svz = (1.0, 1.0, -1.0)
 
-    def kernel(vx_ref, vy_ref, vz_ref, vxo_ref, vyo_ref, vzo_ref,
-               pp, dp, fpre):
-        vxo_ref[...] = vx_ref[...]
-        vyo_ref[...] = vy_ref[...]
-        vzo_ref[...] = vz_ref[...]
-
+    def body(vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre):
         # in-bounds neighbor masks (reference guards, simulation.cpp:307-312);
         # booleans from 0-based iotas over the packed interior
         ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
@@ -156,6 +151,14 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         faces(vyo_ref, *svy)
         faces(vzo_ref, *svz)
 
+    def kernel(vx_ref, vy_ref, vz_ref, vxo_ref, vyo_ref, vzo_ref,
+               pp, dp, fpre):
+        vxo_ref[...] = vx_ref[...]
+        vyo_ref[...] = vy_ref[...]
+        vzo_ref[...] = vz_ref[...]
+        body(vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre)
+
+    kernel.project_body = body
     return kernel
 
 
@@ -198,12 +201,7 @@ def _make_project_masked_kernel(acc: int, wall_mode: str, shape, dtype):
         svy = (1.0, -1.0, 1.0)
         svz = (1.0, 1.0, -1.0)
 
-    def kernel(vx_ref, vy_ref, vz_ref, fl_ref, kv_ref,
-               vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre):
-        vxo_ref[...] = vx_ref[...]
-        vyo_ref[...] = vy_ref[...]
-        vzo_ref[...] = vz_ref[...]
-
+    def body(fl_ref, kv_ref, vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre):
         ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
         iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
         iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
@@ -302,6 +300,14 @@ def _make_project_masked_kernel(acc: int, wall_mode: str, shape, dtype):
         vyo_ref[1:-1, 1:-1, 1:-1] = vyo_ref[1:-1, 1:-1, 1:-1] * kv
         vzo_ref[1:-1, 1:-1, 1:-1] = vzo_ref[1:-1, 1:-1, 1:-1] * kv
 
+    def kernel(vx_ref, vy_ref, vz_ref, fl_ref, kv_ref,
+               vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre):
+        vxo_ref[...] = vx_ref[...]
+        vyo_ref[...] = vy_ref[...]
+        vzo_ref[...] = vz_ref[...]
+        body(fl_ref, kv_ref, vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre)
+
+    kernel.project_body = body
     return kernel
 
 

@@ -138,6 +138,15 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
     return tuple(outs)
 
 
+def _prestep_applicable(p: SimParams, vx) -> bool:
+    if not (p.use_pallas and p.solver == "rbgs"):
+        return False
+    from fluid_simulation_tpu.kernels.prestep_pallas import (
+        pallas_prestep_supported)
+    return pallas_prestep_supported(vx.shape, vx.dtype,
+                                    masked=not p.empty_scene)
+
+
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):
     """Projection with the whole-stage fused kernel when applicable (empty
     scene, rbgs, TPU — kernels/project_pallas.py, bit-identical to the
@@ -184,11 +193,22 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     pvx, pvy, pvz = vx, vy, vz   # pre-diffusion save (simulation.cpp:107-110)
 
     vel_diff = p.visc if p.use_visc_for_velocity else p.diff  # compat: diff
-    vx = diffuse(1, vx, pvx, masks, p.dt, vel_diff, **kw)
-    vy = diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw)
-    vz = diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw)
+    if _prestep_applicable(p, vx):
+        # fused diffuse(1..3)+project (kernels/prestep_pallas.py) — one
+        # kernel call instead of four; bit-identical to the chain below
+        from fluid_simulation_tpu.kernels.prestep_pallas import pallas_prestep
+        from fluid_simulation_tpu.ops.linsolve import diffusion_coeffs
+        a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt, vel_diff)
+        fl = None if p.empty_scene else masks.fluid_i
+        kv = None if p.empty_scene else masks.keep_vel[1:-1, 1:-1, 1:-1]
+        vx, vy, vz = pallas_prestep(vx, vy, vz, fl, kv, float(a), float(c),
+                                    acc=p.acc, wall_mode=p.wall_mode)
+    else:
+        vx = diffuse(1, vx, pvx, masks, p.dt, vel_diff, **kw)
+        vy = diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw)
+        vz = diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw)
 
-    vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
+        vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 
     if p.mode == "compat":
         # Sequential component advection (simulation.cpp:125-127): each later

@@ -413,3 +413,44 @@ def test_masked_projection_matches_composable_interpret():
         for name, a, b in zip("xyz", want, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f"v{name} {dims} {wall}")
+
+
+def test_prestep_fused_matches_chain_interpret():
+    """diffuse(1..3)+project in one kernel == the composable chain
+    (bitwise; ~1 ulp interpret-FMA noise on empty scenes)."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.prestep_pallas import pallas_prestep
+    from fluid_simulation_tpu.ops.linsolve import diffuse, diffusion_coeffs
+    from fluid_simulation_tpu.ops.project import project
+    from fluid_simulation_tpu.scene.masks import build_masks
+    from fluid_simulation_tpu.scene.primitives import (
+        add_sphere, empty_obstacles)
+
+    rng = np.random.default_rng(9)
+    for dims, wall, empty in [((12, 8, 8), "reference", True),
+                              ((12, 8, 8), "reference", False),
+                              ((10, 10, 6), "noslip", False)]:
+        W, H, D = dims
+        obs = np.asarray(empty_obstacles(W, H, D)) if empty else np.asarray(
+            add_sphere(empty_obstacles(W, H, D), W // 2, H // 2, D // 2, 2))
+        masks = build_masks(np.asarray(obs, np.float32))
+        shape = (D + 2, H + 2, W + 2)
+        vx, vy, vz = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                      for _ in range(3))
+        a, c = diffusion_coeffs(W, H, D, 0.05, 2e-5)
+        kw = dict(acc=6, solver="rbgs", wall_mode=wall, use_pallas=False,
+                  empty_scene=empty)
+        wx = diffuse(1, vx, vx, masks, 0.05, 2e-5, **kw)
+        wy = diffuse(2, vy, vy, masks, 0.05, 2e-5, **kw)
+        wz = diffuse(3, vz, vz, masks, 0.05, 2e-5, **kw)
+        want = project(wx, wy, wz, masks, acc=6, solver="rbgs",
+                       wall_mode=wall, use_pallas=False,
+                       empty_scene=empty)[:3]
+        fl = None if empty else masks.fluid_i
+        kv = None if empty else masks.keep_vel[1:-1, 1:-1, 1:-1]
+        got = pallas_prestep(vx, vy, vz, fl, kv, float(a), float(c), acc=6,
+                             wall_mode=wall, interpret=True)
+        for name, aa, bb in zip("xyz", want, got):
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(aa), rtol=0, atol=3e-7,
+                err_msg=f"v{name} {dims} {wall} empty={empty}")

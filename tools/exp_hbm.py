@@ -86,8 +86,25 @@ def main():
         return pl.pallas_call(k2, grid=(nblk,), in_specs=[mid, mid],
                               out_specs=mid, compiler_params=cp,
                               out_shape=jax.ShapeDtypeStruct(c.shape,
-                                                             c.dtype))(c)
+                                                             c.dtype))(c, c)
     timeit("copy2", copy2, 3 * mb)
+
+    # XLA's own fused elementwise stream for calibration
+    def xla2(c):
+        return c * 1.0001 + c
+    timeit("xla2", xla2, 3 * mb)
+
+    # bigger mid blocks (more double-buffer depth per transfer)
+    mid32 = pl.BlockSpec((32, H, W), lambda k: (k, 0, 0),
+                         memory_space=pltpu.TPUMemorySpace.ANY
+                         if False else pltpu.VMEM)
+
+    def copy1b(c):
+        return pl.pallas_call(k1, grid=(D // 32,), in_specs=[mid32],
+                              out_specs=mid32, compiler_params=cp,
+                              out_shape=jax.ShapeDtypeStruct(c.shape,
+                                                             c.dtype))(c)
+    timeit("copy1_blk32", copy1b, 2 * mb)
 
     def k2h(alo, a, ahi, blo, b, bhi, o_ref):
         o_ref[...] = (a[...] + b[...] + alo[0] + ahi[0])
@@ -97,7 +114,7 @@ def main():
                               in_specs=[lo, mid, hi] * 2,
                               out_specs=mid, compiler_params=cp,
                               out_shape=jax.ShapeDtypeStruct(c.shape,
-                                                             c.dtype))(c)
+                                                             c.dtype))(c, c, c, c, c, c)
     timeit("copy2h", copy2h, (3 + 2 * 2 * hb / blk) * mb)
 
     def ksw(alo, a, ahi, blo, b, bhi, o_ref):
@@ -113,7 +130,7 @@ def main():
                               in_specs=[lo, mid, hi] * 2,
                               out_specs=mid, compiler_params=cp,
                               out_shape=jax.ShapeDtypeStruct(c.shape,
-                                                             c.dtype))(c)
+                                                             c.dtype))(c, c, c, c, c, c)
     timeit("sweepish", sweepish, (3 + 2 * 2 * hb / blk) * mb)
     return 0
 
