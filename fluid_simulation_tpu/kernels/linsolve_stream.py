@@ -281,3 +281,261 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
     out = out.at[0, 1:-1, 1:-1].set(sz * fpre[0])
     out = out.at[-1, 1:-1, 1:-1].set(sz * fpre[-1])
     return out
+
+
+# ---------------------------------------------------------------------------
+# temporally-blocked variant: ksw sweeps per HBM pass (trapezoidal tiling)
+# ---------------------------------------------------------------------------
+
+def _make_sweep_kernel_t(b: int, a: float, c: float, wall_mode: str,
+                         interior, blk: int, ksw: int, dtype,
+                         apply_keep: bool):
+    """ksw full sweeps per streaming pass on the packed pre-keep carry.
+
+    The z-block streaming sweep is HBM-bound at the platform's ~350-430
+    GB/s pallas-streaming ceiling (tools/exp_hbm.py), so per-sweep HBM must
+    shrink: each pass reads the windows once and emits ksw sweeps, with the
+    red/black working region shrinking 1 row per half-sweep (the wavefront
+    dependency of RBGS — kernels/linsolve_temporal.py's trapezoid, here on
+    the packed ghost algebra of _make_sweep_kernel). Numerics identical to
+    ksw sequential 1-sweep passes: sweep s's region is exactly contained in
+    sweep s-1's valid region, and ghost/keep handling matches per sweep.
+
+    Geometry: m = 2*ksw; scratch row e <-> packed row p = k*blk - m + e;
+    ext/pw span [block-m, block+blk+m-1] (E = blk + 2m rows). Requires
+    hb >= m with the lo/hi halo streams exactly covering m rows each side
+    (hb = m, r = blk // hb with hb | blk)."""
+    D, H, W = interior
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+    m = 2 * ksw
+    E = blk + 2 * m
+
+    def body(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi, out, ext, pw):
+        k = pl.program_id(0)
+        # scratch row e <-> packed row p = k*blk - m + e
+        pw[0:m] = plo[...]
+        pw[m:blk + m] = pmid[...]
+        pw[blk + m:] = phi[...]
+        if apply_keep:
+            kw_lo, kw_mid, kw_hi = klo[...], kmid[...], khi[...]
+
+        def apply_k(e0, e1):
+            """ext[e0:e1] = pw[e0:e1] * keep(rows), piecewise over the
+            three window sources."""
+            if not apply_keep:
+                ext[e0:e1] = pw[e0:e1]
+                return
+            # rows [0, m) from klo, [m, blk+m) from kmid, rest from khi
+            a0, a1 = e0, min(e1, m)
+            if a0 < a1:
+                ext[a0:a1] = pw[a0:a1] * kw_lo[a0:a1]
+            b0, b1 = max(e0, m), min(e1, blk + m)
+            if b0 < b1:
+                ext[b0:b1] = pw[b0:b1] * kw_mid[b0 - m:b1 - m]
+            c0, c1 = max(e0, blk + m), e1
+            if c0 < c1:
+                ext[c0:c1] = pw[c0:c1] * kw_hi[c0 - blk - m:c1 - blk - m]
+
+        apply_k(0, E)
+        rhs = jnp.concatenate([rlo[...], rmid[...], rhi[...]], axis=0)
+
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+        sxc = jnp.asarray(sx, dtype)
+        syc = jnp.asarray(sy, dtype)
+        szc = jnp.asarray(sz, dtype)
+
+        def halfsweep(lo_e, hi_e, want_red):
+            n = hi_e - lo_e + 1
+            f = ext[lo_e:hi_e + 1]
+            pre = pw[lo_e:hi_e + 1]
+            iz = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 0)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 1)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (n, H, W), 2)
+            gp = iz + (k * blk - m + lo_e)
+            parity = ((gp + iy + ix) % 2) == 1
+            if not want_red:
+                parity = jnp.logical_not(parity)
+            sel = parity & (gp >= 0) & (gp <= D - 1)
+            xpn = _roll(f, W - 1, 2)
+            xmn = _roll(f, 1, 2)
+            xp = jnp.where(ix == W - 1, pre, xpn)
+            xm = jnp.where(ix == 0, sxc * pre, xmn)
+            yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
+            ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
+            zp = jnp.where(gp == D - 1, szc * pre, ext[lo_e + 1:hi_e + 2])
+            zm = jnp.where(gp == 0, szc * pre, ext[lo_e - 1:hi_e])
+            s = (((xp + xm) + yp) + ym + zp) + zm
+            upd = (rhs[lo_e:hi_e + 1] + a_c * s) * crec
+            ext[lo_e:hi_e + 1] = jnp.where(sel, upd, f)
+
+        for s in range(1, ksw + 1):
+            r = 2 * (ksw - s) + 1          # red extension beyond the block
+            red_lo, red_hi = m - r, blk - 1 + m + r
+            halfsweep(red_lo, red_hi, True)
+            halfsweep(red_lo + 1, red_hi - 1, False)
+            if s < ksw:
+                # snapshot pre and re-apply keep on the still-active region
+                e0, e1 = red_lo + 1 - 1, red_hi - 1 + 1 + 1  # region +-0
+                pw[red_lo:red_hi + 1] = ext[red_lo:red_hi + 1]
+                apply_k(red_lo, red_hi + 1)
+        out[...] = ext[m:blk + m]          # the new pre-keep field
+
+    if apply_keep:
+        def kernel(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi,
+                   out, ext, pw):
+            body(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi,
+                 out, ext, pw)
+    else:
+        def kernel(plo, pmid, phi, rlo, rmid, rhi, out, ext, pw):
+            body(plo, pmid, phi, rlo, rmid, rhi, None, None, None,
+                 out, ext, pw)
+    return kernel
+
+
+def _pick_blk_t(shape, dtype, apply_keep: bool, ksw: int):
+    """Temporal block choice: E-row ext/pw scratch + m-row halo streams.
+    Budget mirrors _pick_blk's empirical 22-unit calibration, scaled by the
+    larger windows."""
+    D, H, W = (n - 2 for n in shape)
+    it = _itemsize(dtype)
+    rb = _tiled_bytes((1, H, W), it)
+    m = 2 * ksw
+    for blk in (16, 8):
+        if blk > D or blk % m:
+            continue
+        E = blk + 2 * m
+        nops = 3 if apply_keep else 2
+        need = (2 * nops * (blk + 2 * m) * rb    # in streams, dbuf
+                + 2 * blk * rb                   # out stream, dbuf
+                + 2 * E * rb                     # ext + pw scratch
+                + 8 * E * rb)                    # halfsweep temporaries
+        if need <= int(0.9 * VMEM_BUDGET_BYTES):
+            return blk
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk",
+    "ksw"))
+def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
+                               acc: int = 15, wall_mode: str = "reference",
+                               interpret: bool = False,
+                               empty_scene: bool = False,
+                               blk: int | None = None, ksw: int = 4):
+    """Temporally-blocked drop-in for pallas_rbgs_solve_stream: ksw sweeps
+    per streaming pass (plus a remainder pass)."""
+    from fluid_simulation_tpu.kernels.linsolve_blocked import (
+        pallas_rbgs_solve_blocked)
+    shape = field.shape
+    dtype = field.dtype
+    apply_keep = not empty_scene
+    interior = tuple(n - 2 for n in shape)
+    D, H, W = interior
+    if blk is None:
+        blk = _pick_blk_t(shape, dtype, apply_keep, ksw)
+        if blk is None:
+            raise ValueError(f"no temporal-stream block fits {shape}")
+    m = 2 * ksw
+    if blk % m:
+        raise ValueError(f"blk {blk} must be a multiple of m={m}")
+
+    pre1 = pallas_rbgs_solve_blocked(b, field, prev, None, a, c, acc=1,
+                                     wall_mode=wall_mode, interpret=interpret,
+                                     empty_scene=True)
+    fpre = pre1[1:-1, 1:-1, 1:-1]
+    rp = prev[1:-1, 1:-1, 1:-1]
+    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
+
+    def make_call(nsw):
+        nblk = -(-D // blk)
+        mm = 2 * nsw
+        kernel = _make_sweep_kernel_t(b, a, c, wall_mode, interior, blk,
+                                      nsw, dtype, apply_keep)
+        r = blk // mm if mm and blk % mm == 0 else None
+        # lo/hi streams exactly mm rows: block shape (mm, H, W) with
+        # index maps clamped at the domain edges
+        nmb = -(-D // mm)
+        mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                           memory_space=pltpu.VMEM)
+        rr = blk // mm
+        lo = pl.BlockSpec((mm, H, W),
+                          lambda k: (jnp.maximum(k * rr - 1, 0), 0, 0),
+                          memory_space=pltpu.VMEM)
+        hi = pl.BlockSpec((mm, H, W),
+                          lambda k: (jnp.minimum(k * rr + rr, nmb - 1),
+                                     0, 0),
+                          memory_space=pltpu.VMEM)
+        n_stream = 3 if apply_keep else 2
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_BUDGET_BYTES)
+        E = blk + 2 * mm
+        return pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
+            in_specs=[lo, mid, hi] * n_stream,
+            out_specs=mid,
+            scratch_shapes=[pltpu.VMEM((E, H, W), dtype) for _ in range(2)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=20 * nsw * int(np.prod(interior)),
+                bytes_accessed=(3 + 4 * mm // blk) * _tiled_bytes(
+                    interior, _itemsize(dtype)),
+                transcendentals=0),
+            **kwargs,
+        )
+
+    nsw_left = acc - 1
+    if nsw_left > 0:
+        npass, rem = divmod(nsw_left, ksw)
+        if npass:
+            call = make_call(ksw)
+
+            def sweep(f, _):
+                ops = [f, f, f, rp, rp, rp]
+                if apply_keep:
+                    ops += [kp, kp, kp]
+                return call(*ops), None
+            fpre, _ = jax.lax.scan(sweep, fpre, None, length=npass)
+        if rem:
+            # remainder sweeps through the 1-sweep kernel (same numerics)
+            call1 = make_packed_sweep_call(b, a, c, wall_mode, interior,
+                                           dtype, apply_keep,
+                                           _pick_blk(shape, dtype,
+                                                     apply_keep) or blk,
+                                           interpret)
+
+            def sweep1(f, _):
+                ops = [f, f, f, rp, rp, rp]
+                if apply_keep:
+                    ops += [kp, kp, kp]
+                return call1(*ops), None
+            fpre, _ = jax.lax.scan(sweep1, fpre, None, length=rem)
+
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        sx = -1.0 if b == 1 else 1.0
+        sy, sz = -1.0, -1.0
+    else:
+        sx = -1.0 if b == 1 else 1.0
+        sy = -1.0 if b == 2 else 1.0
+        sz = -1.0 if b == 3 else 1.0
+    out = field
+    out = out.at[1:-1, 1:-1, 1:-1].set(fpre if empty_scene else fpre * kp)
+    out = out.at[1:-1, 1:-1, 0].set(sx * fpre[:, :, 0])
+    out = out.at[1:-1, 1:-1, -1].set(fpre[:, :, -1])
+    out = out.at[1:-1, 0, 1:-1].set(sy * fpre[:, 0, :])
+    out = out.at[1:-1, -1, 1:-1].set(sy * fpre[:, -1, :])
+    out = out.at[0, 1:-1, 1:-1].set(sz * fpre[0])
+    out = out.at[-1, 1:-1, 1:-1].set(sz * fpre[-1])
+    return out

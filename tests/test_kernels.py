@@ -454,3 +454,38 @@ def test_prestep_fused_matches_chain_interpret():
             np.testing.assert_allclose(
                 np.asarray(bb), np.asarray(aa), rtol=0, atol=3e-7,
                 err_msg=f"v{name} {dims} {wall} empty={empty}")
+
+
+def test_temporal_packed_stream_matches_oracle_interpret():
+    """ksw-sweeps-per-pass packed stream == the resident packed kernel
+    (bitwise), across block sizes, remainders, and keep configs."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.linsolve_pallas import pallas_rbgs_solve
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        pallas_rbgs_solve_stream_t)
+
+    rng = np.random.default_rng(11)
+    for shape, b, empty, acc, blk, ksw in [
+            ((18, 6, 10), 1, True, 9, 8, 2),
+            ((18, 6, 10), 0, False, 9, 8, 2),
+            ((34, 6, 10), 2, False, 15, 16, 4),
+            ((20, 6, 10), 3, False, 5, 4, 2)]:
+        D2, H2, W2 = shape
+        field = rng.normal(size=shape).astype(np.float32)
+        prev = rng.normal(size=shape).astype(np.float32)
+        if empty:
+            kj = None
+        else:
+            keep = np.ones(shape, np.float32)
+            sol = rng.random(size=(D2 - 2, H2 - 2, W2 - 2)) < 0.2
+            keep[1:-1, 1:-1, 1:-1] = (~sol).astype(np.float32)
+            kj = jnp.asarray(keep)
+        want = np.asarray(pallas_rbgs_solve(
+            b, jnp.asarray(field), jnp.asarray(prev), kj, 0.3, 2.8,
+            acc=acc, interpret=True, empty_scene=empty, packed=True))
+        got = np.asarray(pallas_rbgs_solve_stream_t(
+            b, jnp.asarray(field), jnp.asarray(prev), kj, 0.3, 2.8,
+            acc=acc, interpret=True, empty_scene=empty, blk=blk, ksw=ksw))
+        np.testing.assert_array_equal(
+            got[1:-1, 1:-1, 1:-1], want[1:-1, 1:-1, 1:-1],
+            err_msg=f"{shape} b={b} empty={empty} blk={blk} ksw={ksw}")

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Temporal packed stream (ksw sweeps/HBM pass) vs the 1-sweep stream."""
+import sys, time
+import numpy as np
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        pallas_rbgs_solve_stream, pallas_rbgs_solve_stream_t, _pick_blk_t)
+
+    W, H, D = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (256, 256, 256)
+    shape = (D + 2, H + 2, W + 2)
+    acc, n = 15, 4
+    np.asarray(jax.jit(lambda: jnp.zeros((8, 128)))())
+    f0 = jnp.zeros(shape, jnp.float32) + 0.1
+
+    def timeit(name, body, init):
+        def run_n(length):
+            @jax.jit
+            def run(c):
+                return jax.lax.scan(lambda c, _: (body(c), None), c, None,
+                                    length=length)[0]
+            return run
+        r1, r3 = run_n(n), run_n(3 * n)
+        jax.block_until_ready(r1(init)); jax.block_until_ready(r3(init))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); jax.block_until_ready(r1(init))
+            t1 = time.perf_counter(); jax.block_until_ready(r3(init))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (2 * n))
+        print(f"{name:26s} {best * 1e3:9.3f} ms/solve "
+              f"({best / acc * 1e6:7.1f} us/sweep)", flush=True)
+        return best
+
+    for ksw in (4, 2):
+        blk = _pick_blk_t(shape, jnp.float32, False, ksw)
+        print(f"ksw={ksw}: blk={blk}")
+        if blk is None:
+            continue
+        def tmp(c, ksw=ksw):
+            return pallas_rbgs_solve_stream_t(1, c, c, None, 1e-4, 1.0006,
+                                              acc=acc, empty_scene=True,
+                                              ksw=ksw)
+        try:
+            timeit(f"temporal ksw={ksw}", tmp, f0)
+        except Exception as e:
+            print(f"ksw={ksw} failed: {type(e).__name__}: {e}")
+
+    def stream(c):
+        return pallas_rbgs_solve_stream(1, c, c, None, 1e-4, 1.0006, acc=acc,
+                                        empty_scene=True)
+    timeit("stream_1sweep", stream, f0)
+
+    @jax.jit
+    def diff(c):
+        a = stream(c)[1:-1,1:-1,1:-1]
+        b = pallas_rbgs_solve_stream_t(1, c, c, None, 1e-4, 1.0006, acc=acc,
+                                       empty_scene=True, ksw=4)[1:-1,1:-1,1:-1]
+        return jnp.max(jnp.abs(a - b))
+    print("interior max |stream - temporal| =", float(diff(f0)))
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main())
