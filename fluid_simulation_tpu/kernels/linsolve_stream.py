@@ -423,6 +423,70 @@ def _pick_blk_t(shape, dtype, apply_keep: bool, ksw: int):
     return None
 
 
+# Calibrated on-chip (tools/exp_temporal3.py, one v5e): at 256^3 the
+# ksw=2/blk=16 temporal pass runs 620 us/sweep vs 837 for the 1-sweep
+# stream (HBM-bound at the ~370 GB/s pallas-streaming ceiling); at
+# 256x128x128 it is neutral (148 vs 144), and higher ksw or other blocks
+# lose (ksw=4: 835, ksw=3: 768, blk=24: 674, blk=32: VMEM compile fail).
+TEMPORAL_MIN_CELLS = 8 * 1024 * 1024
+
+
+def temporal_stream_preferred(shape, dtype=jnp.float32,
+                              apply_keep: bool = True):
+    """(blk, ksw) when the temporal kernel is the measured winner for this
+    shape, else None."""
+    D, H, W = (n - 2 for n in shape)
+    if D * H * W < TEMPORAL_MIN_CELLS or D % 16:
+        return None
+    if not pallas_stream_solve_supported(shape, dtype, apply_keep):
+        return None
+    return (16, 2)
+
+
+def make_packed_sweep_call_t(b, a, c, wall_mode, interior, dtype,
+                             apply_keep, blk, nsw, interpret):
+    """Per-pass pallas_call running ``nsw`` sweeps (the temporal variant of
+    make_packed_sweep_call, same operand protocol). Shared with the
+    streamed projection's Poisson loop."""
+    D, H, W = interior
+    nblk = -(-D // blk)
+    mm = 2 * nsw
+    kernel = _make_sweep_kernel_t(b, a, c, wall_mode, interior, blk,
+                                  nsw, dtype, apply_keep)
+    nmb = -(-D // mm)
+    mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rr = blk // mm
+    lo = pl.BlockSpec((mm, H, W),
+                      lambda k: (jnp.maximum(k * rr - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    hi = pl.BlockSpec((mm, H, W),
+                      lambda k: (jnp.minimum(k * rr + rr, nmb - 1),
+                                 0, 0),
+                      memory_space=pltpu.VMEM)
+    n_stream = 3 if apply_keep else 2
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    E = blk + 2 * mm
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
+        in_specs=[lo, mid, hi] * n_stream,
+        out_specs=mid,
+        scratch_shapes=[pltpu.VMEM((E, H, W), dtype) for _ in range(2)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * nsw * int(np.prod(interior)),
+            bytes_accessed=(3 + 4 * mm // blk) * _tiled_bytes(
+                interior, _itemsize(dtype)),
+            transcendentals=0),
+        **kwargs,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk",
     "ksw"))
@@ -455,52 +519,13 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
     rp = prev[1:-1, 1:-1, 1:-1]
     kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
 
-    def make_call(nsw):
-        nblk = -(-D // blk)
-        mm = 2 * nsw
-        kernel = _make_sweep_kernel_t(b, a, c, wall_mode, interior, blk,
-                                      nsw, dtype, apply_keep)
-        r = blk // mm if mm and blk % mm == 0 else None
-        # lo/hi streams exactly mm rows: block shape (mm, H, W) with
-        # index maps clamped at the domain edges
-        nmb = -(-D // mm)
-        mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
-                           memory_space=pltpu.VMEM)
-        rr = blk // mm
-        lo = pl.BlockSpec((mm, H, W),
-                          lambda k: (jnp.maximum(k * rr - 1, 0), 0, 0),
-                          memory_space=pltpu.VMEM)
-        hi = pl.BlockSpec((mm, H, W),
-                          lambda k: (jnp.minimum(k * rr + rr, nmb - 1),
-                                     0, 0),
-                          memory_space=pltpu.VMEM)
-        n_stream = 3 if apply_keep else 2
-        kwargs = {}
-        if not interpret:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_BUDGET_BYTES)
-        E = blk + 2 * mm
-        return pl.pallas_call(
-            kernel,
-            grid=(nblk,),
-            out_shape=jax.ShapeDtypeStruct((D, H, W), dtype),
-            in_specs=[lo, mid, hi] * n_stream,
-            out_specs=mid,
-            scratch_shapes=[pltpu.VMEM((E, H, W), dtype) for _ in range(2)],
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=20 * nsw * int(np.prod(interior)),
-                bytes_accessed=(3 + 4 * mm // blk) * _tiled_bytes(
-                    interior, _itemsize(dtype)),
-                transcendentals=0),
-            **kwargs,
-        )
-
     nsw_left = acc - 1
     if nsw_left > 0:
         npass, rem = divmod(nsw_left, ksw)
         if npass:
-            call = make_call(ksw)
+            call = make_packed_sweep_call_t(b, a, c, wall_mode, interior,
+                                            dtype, apply_keep, blk, ksw,
+                                            interpret)
 
             def sweep(f, _):
                 ops = [f, f, f, rp, rp, rp]

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from fluid_simulation_tpu.kernels.linsolve_pallas import (
     VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes, _roll)
 from fluid_simulation_tpu.kernels.linsolve_stream import (
-    make_packed_sweep_call, pallas_stream_solve_supported)
+    make_packed_sweep_call, make_packed_sweep_call_t,
+    pallas_stream_solve_supported, temporal_stream_preferred)
 from fluid_simulation_tpu.ops.project import grid_h
 
 BLK = 16   # z-block of the div/grad kernels (same envelope as the solve)
@@ -175,15 +176,32 @@ def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
         **kwargs,
     )(vx, vx, vy, vy, vz, vz)
 
-    # ---- stage 2: Poisson, all sweeps packed (p == 0 before sweep 1)
-    sweep_call = make_packed_sweep_call(0, 1.0, 6.0, wall_mode, interior,
-                                        dtype, False, blk, interpret)
+    # ---- stage 2: Poisson, all sweeps packed (p == 0 before sweep 1);
+    # 2 sweeps per HBM pass on 256^3-class grids (temporal kernel, measured
+    # 620 vs 837 us/sweep — linsolve_stream.temporal_stream_preferred)
+    fpre = jnp.zeros(interior, dtype)
+    tp = temporal_stream_preferred(shape, dtype, apply_keep=False)
+    nsw_left = acc
+    if tp is not None and acc >= 2:
+        blk_t, ksw_t = tp
+        npass, nsw_left = divmod(acc, ksw_t)
+        call_t = make_packed_sweep_call_t(0, 1.0, 6.0, wall_mode, interior,
+                                          dtype, False, blk_t, ksw_t,
+                                          interpret)
 
-    def sweep(f, _):
-        return sweep_call(f, f, f, rp, rp, rp), None
+        def sweep_t(f, _):
+            return call_t(f, f, f, rp, rp, rp), None
 
-    fpre, _ = jax.lax.scan(sweep, jnp.zeros(interior, dtype), None,
-                           length=acc)
+        fpre, _ = jax.lax.scan(sweep_t, fpre, None, length=npass)
+    if nsw_left:
+        sweep_call = make_packed_sweep_call(0, 1.0, 6.0, wall_mode,
+                                            interior, dtype, False, blk,
+                                            interpret)
+
+        def sweep(f, _):
+            return sweep_call(f, f, f, rp, rp, rp), None
+
+        fpre, _ = jax.lax.scan(sweep, fpre, None, length=nsw_left)
 
     # ---- stage 3: gradients on packed data, subtraction in XLA-land
     kmid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),

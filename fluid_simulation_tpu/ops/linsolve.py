@@ -75,7 +75,18 @@ def linear_solver(
                                      acc=acc, wall_mode=wall_mode,
                                      empty_scene=empty_scene, packed=True)
         from fluid_simulation_tpu.kernels.linsolve_stream import (
-            pallas_rbgs_solve_stream, pallas_stream_solve_supported)
+            pallas_rbgs_solve_stream, pallas_rbgs_solve_stream_t,
+            pallas_stream_solve_supported, temporal_stream_preferred)
+        tp = temporal_stream_preferred(f.shape, f.dtype,
+                                       apply_keep=not empty_scene)
+        if tp is not None:
+            # 256^3-class grids are HBM-bound at the pallas-streaming
+            # ceiling: run 2 sweeps per pass (measured 620 vs 837 us/sweep)
+            blk_t, ksw_t = tp
+            return pallas_rbgs_solve_stream_t(
+                b, f, prev, keep, float(a), float(c), acc=acc,
+                wall_mode=wall_mode, empty_scene=empty_scene,
+                blk=blk_t, ksw=ksw_t)
         if pallas_stream_solve_supported(f.shape, f.dtype,
                                          apply_keep=not empty_scene):
             # grid too large for the VMEM-resident kernel: packed-interior

@@ -108,6 +108,25 @@ def main():
           f"{gsps_s:7.1f} geometry-steps/s per geometry "
           f"({B / (B * t_s) : .1f} if run back-to-back)")
     print(f"batching speedup: {B * t_s / t_b:.2f}x over {B} sequential runs")
+
+    # ---- design_sweep's lax.map sequential route (VERDICT r2 #6): one
+    # program that runs the B geometries one after another with unvmapped
+    # kernels — what route='auto' picks at flagship scale
+    from fluid_simulation_tpu.models.sweep import design_sweep
+
+    def run_route(length):
+        @jax.jit
+        def run(_state, m):
+            final, _ = design_sweep(m, params.replace(empty_scene=False),
+                                    steps=length, route="sequential")
+            return final
+        return run
+
+    t_r, _ = slope(run_route, state0, bm)
+    # t_r covers B geometries x length steps in one program
+    print(f"lax.map route: {t_r * 1e3:8.2f} ms/(step x {B} geoms) -> "
+          f"{B / t_r:7.1f} geometry-steps/s "
+          f"({t_b / t_r:.2f}x vs vmapped)")
     return 0
 
 

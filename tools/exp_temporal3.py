@@ -9,7 +9,7 @@ def main():
     from fluid_simulation_tpu.kernels.linsolve_stream import (
         pallas_rbgs_solve_stream_t)
 
-    W, H, D = 256, 256, 256
+    W, H, D = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (256, 256, 256)
     shape = (D + 2, H + 2, W + 2)
     acc, n = 15, 4
     np.asarray(jax.jit(lambda: jnp.zeros((8, 128)))())
@@ -34,7 +34,7 @@ def main():
               f"({best / acc * 1e6:7.1f} us/sweep)", flush=True)
         return best
 
-    for ksw, blk in ((4, 8), (3, 12), (2, 16)):
+    for ksw, blk in ((2, 16),):
         def tmp(c, ksw=ksw, blk=blk):
             return pallas_rbgs_solve_stream_t(1, c, c, None, 1e-4, 1.0006,
                                               acc=acc, empty_scene=True,
