@@ -454,9 +454,12 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
 
 
 def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
-    """Dispatch to the Mosaic lane kernels when supported, XLA otherwise."""
+    """Dispatch to the Mosaic lane kernels when supported, XLA otherwise.
+    The fused-backtrace variant is the default: bitwise-equal to
+    advect_split on the chip, neutral at the flagship size, and it never
+    materialises index arrays (64 MB per pass at 256^3)."""
     if use_pallas and lane_lerp_supported(prev.shape):
-        return advect_split(prev, vx, vy, vz, float(dt_))
+        return advect_split_fused(prev, vx, vy, vz, float(dt_))
     return advect_split_jnp(prev, vx, vy, vz, float(dt_))
 
 
