@@ -990,9 +990,13 @@ class ShardedWindTunnel:
 
     def collective_bytes_per_step(self) -> dict:
         """Static accounting of per-chip ICI traffic per step (VERDICT r1
-        weak#5): what each rank sends, by phase. The advect figure assumes
-        the bounded K-slab window engages; the all-gather fallback bound is
-        reported alongside."""
+        weak#5): what each rank sends, by phase, for the 1-D z mesh. The
+        advect figure assumes the bounded K-slab window engages; the
+        all-gather fallback bound is reported alongside. On a 2-D mesh the
+        same sweep structure additionally exchanges 4 y-planes of
+        (Dl+2) x (W+2) per sweep and the advect y pass all-gathers the
+        intermediate along 'y' (roughly scale solve_bytes by
+        1 + Dl/H per extra axis)."""
         p = self.params
         n, itemsize = self.n, 4 if p.dtype == "float32" else 2
         H2, W2 = p.height + 2, p.width + 2
