@@ -76,6 +76,19 @@ class SimParams:
     # are always collected.
     div_stats: bool = True
 
+    # compat/fast advection: when > 0, fetch the trilinear corners with the
+    # bounded-window Mosaic kernel (kernels/advect_compat.py) allowing y/z
+    # backtrace offsets up to this many cells, with an exact runtime
+    # fallback to the XLA gather whenever any backtrace reaches further.
+    # Bit-identical either way; the kernel is ~5x faster than the XLA
+    # gather *when it engages* (0.40 vs 2.08 ms/advect at 128x64x64).
+    # OFF by default because the reference flagship flow backtraces 13-18
+    # cells transversely (dt*N*|v| with vy,vz ~ +-3 — measured,
+    # tools/exp_compat_advect.py), so at reference speeds the window never
+    # holds and the cond is dead weight. Enable for low-speed/small-dt
+    # flows where dt*height*|vy| and dt*depth*|vz| stay <= this bound.
+    advect_window: int = 0
+
     # Sharded runs only: advection z-reads exchange this many neighbor slabs
     # per side instead of all-gathering the full field, with an automatic
     # runtime fallback to all-gather whenever a backtrace reaches further

@@ -141,6 +141,13 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
 def _prestep_applicable(p: SimParams, vx) -> bool:
     if not (p.use_pallas and p.solver == "rbgs"):
         return False
+    if p.empty_scene:
+        # A/B on the chip (tools/exp_prestep_ab.py): the fused prestep
+        # REGRESSES the empty flagship (1.128 -> 1.217 ms/step) — the
+        # monolithic kernel pipelines worse across scan iterations than the
+        # separate resident solve + fused projection — while the sphere
+        # scene improves 2.18 -> 1.26 ms. Obstacle scenes only.
+        return False
     from fluid_simulation_tpu.kernels.prestep_pallas import (
         pallas_prestep_supported)
     return pallas_prestep_supported(vx.shape, vx.dtype,
@@ -214,11 +221,11 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         # Sequential component advection (simulation.cpp:125-127): each later
         # component backtraces through already-advected earlier components.
         vx2 = advect(1, pvx, vx, vy, vz, masks, p.dt, p.wall_mode,
-                     p.empty_scene)
+                     p.empty_scene, p.advect_window)
         vy2 = advect(2, pvy, vx2, vy, vz, masks, p.dt, p.wall_mode,
-                     p.empty_scene)
+                     p.empty_scene, p.advect_window)
         vz2 = advect(3, pvz, vx2, vy2, vz, masks, p.dt, p.wall_mode,
-                     p.empty_scene)
+                     p.empty_scene, p.advect_window)
         vx, vy, vz = vx2, vy2, vz2
     elif p.mode == "fast":
         # Simultaneous advection: one shared backtrace through the projected
@@ -227,7 +234,14 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         xb, yb, zb = backtrace(
             vx[1:-1, 1:-1, 1:-1], vy[1:-1, 1:-1, 1:-1], vz[1:-1, 1:-1, 1:-1],
             p.dt, W, H, D, vx.dtype)
-        smp = jnp.stack([trilinear_gather(prev, xb, yb, zb)
+        gather = trilinear_gather
+        if p.advect_window > 0:
+            from fluid_simulation_tpu.kernels.advect_compat import (
+                corner_fetch_supported, trilinear_gather_pallas)
+            K = p.advect_window
+            if corner_fetch_supported(pvx.shape, pvx.dtype, K, K):
+                gather = functools.partial(trilinear_gather_pallas, K=K, KY=K)
+        smp = jnp.stack([gather(prev, xb, yb, zb)
                          for prev in (pvx, pvy, pvz)])
         vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     elif p.mode == "split":
@@ -257,7 +271,7 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         dens, = _pad_bounds_tail(smp, (0,), masks, p)
     else:
         dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode,
-                      p.empty_scene)
+                      p.empty_scene, p.advect_window)
 
     new_state = FluidState(vx, vy, vz, dens)
     if p.div_stats:

@@ -33,6 +33,22 @@ from fluid_simulation_tpu.ops.bounds import set_bounds
 from fluid_simulation_tpu.scene.masks import SceneMasks
 
 
+def _lerp8(c000, c100, c010, c110, c001, c101, c011, c111, sx, sy, sz,
+           dtype):
+    """Trilinear lerp from 8 corner planes in the reference's order (x, then
+    y, then z — simulation.cpp:412-420). Shared by the XLA gather path and
+    the Pallas corner-fetch path (kernels/advect_compat.py) so both produce
+    the identical expression tree — compat bit-parity rides on this."""
+    one = jnp.asarray(1.0, dtype)
+    c00 = c000 * (one - sx) + c100 * sx
+    c01 = c001 * (one - sx) + c101 * sx
+    c10 = c010 * (one - sx) + c110 * sx
+    c11 = c011 * (one - sx) + c111 * sx
+    c0 = c00 * (one - sy) + c10 * sy
+    c1 = c01 * (one - sy) + c11 * sy
+    return c0 * (one - sz) + c1 * sz
+
+
 def trilinear_gather(prev: jnp.ndarray, xb, yb, zb) -> jnp.ndarray:
     """Trilinear sample of the padded field ``prev`` at backtraced coordinates
     (arrays shaped like the interior). Coordinates are in the reference's cell
@@ -62,17 +78,9 @@ def trilinear_gather(prev: jnp.ndarray, xb, yb, zb) -> jnp.ndarray:
     g = lax.gather(tbl, base.reshape(-1, 1), dnums, slice_sizes=(1, 8),
                    mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS
                    ).reshape(*base.shape, 8)
-    c000, c100, c010, c110 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
-    c001, c101, c011, c111 = g[..., 4], g[..., 5], g[..., 6], g[..., 7]
-
-    one = jnp.asarray(1.0, prev.dtype)
-    c00 = c000 * (one - sx) + c100 * sx
-    c01 = c001 * (one - sx) + c101 * sx
-    c10 = c010 * (one - sx) + c110 * sx
-    c11 = c011 * (one - sx) + c111 * sx
-    c0 = c00 * (one - sy) + c10 * sy
-    c1 = c01 * (one - sy) + c11 * sy
-    return c0 * (one - sz) + c1 * sz
+    return _lerp8(g[..., 0], g[..., 1], g[..., 2], g[..., 3],
+                  g[..., 4], g[..., 5], g[..., 6], g[..., 7],
+                  sx, sy, sz, prev.dtype)
 
 
 def backtrace(vx_i, vy_i, vz_i, dt: float, W: int, H: int, D: int, dtype):
@@ -104,6 +112,7 @@ def advect(
     dt: float,
     wall_mode: str = "reference",
     empty_scene: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Advect ``prev`` through the velocity field, returning the new field.
 
@@ -111,6 +120,16 @@ def advect(
     ``prev`` (the pre-diffusion save, see step()) instead of the current
     velocity — pass the *current* vx/vy/vz and this routine swaps in ``prev``
     for component ``b`` itself (simulation.cpp:380-382).
+
+    With ``window > 0`` the corner gather runs in the Mosaic bounded-window
+    kernel (kernels/advect_compat.py) when supported — bit-identical values
+    (the kernel only selects; the lerp is this module's ``_lerp8`` either
+    way), with an exact runtime ``lax.cond`` fallback to the XLA gather
+    whenever any backtrace offsets more than ``window`` cells in y or z.
+    Off by default: measured flagship flows backtrace 13-18 cells
+    transversely (vy, vz reach ~+-3 even in an empty tunnel and the
+    backtrace scale is dt*N*v — see SimParams.advect_window), so at
+    reference speeds the window never holds.
     """
     dtype = prev.dtype
     D2, H2, W2 = prev.shape
@@ -121,7 +140,16 @@ def advect(
     vz_i = (prev if b == 3 else vz)[1:-1, 1:-1, 1:-1]
 
     xb, yb, zb = backtrace(vx_i, vy_i, vz_i, dt, W, H, D, dtype)
-    sampled = trilinear_gather(prev, xb, yb, zb)
+    if window > 0:
+        from fluid_simulation_tpu.kernels.advect_compat import (
+            corner_fetch_supported, trilinear_gather_pallas)
+        if corner_fetch_supported(prev.shape, dtype, window, window):
+            sampled = trilinear_gather_pallas(prev, xb, yb, zb, K=window,
+                                              KY=window)
+        else:
+            sampled = trilinear_gather(prev, xb, yb, zb)
+    else:
+        sampled = trilinear_gather(prev, xb, yb, zb)
 
     # Solids forced to zero (simulation.cpp:375-378). Ghost shell starts as
     # zeros — faces get rewritten by set_bounds, edges/corners stay zero, which
