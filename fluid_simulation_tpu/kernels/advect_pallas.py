@@ -455,11 +455,17 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
 
 def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
     """Dispatch to the Mosaic lane kernels when supported, XLA otherwise.
-    The fused-backtrace variant is the default: bitwise-equal to
-    advect_split on the chip, neutral at the flagship size, and it never
-    materialises index arrays (64 MB per pass at 256^3)."""
+
+    The production kernel is ``advect_split`` (indices materialised by XLA
+    between passes), NOT the fused-backtrace variant: process-isolated
+    full-step A/B on the v5e (tools/exp_advect_ab2.py) measures the fused
+    form 1.210 vs 0.965 ms/step at 128x64x64, 16.6 vs 15.7 at 256x128x128
+    and 87.0 vs 69.9 at 256^3 — the in-kernel backtrace recompute plus its
+    per-window i32/f32 operand pressure costs more than the index-array
+    HBM traffic it removes at every measured size. ``advect_split_fused``
+    stays available as an opt-in experiment."""
     if use_pallas and lane_lerp_supported(prev.shape):
-        return advect_split_fused(prev, vx, vy, vz, float(dt_))
+        return advect_split(prev, vx, vy, vz, float(dt_))
     return advect_split_jnp(prev, vx, vy, vz, float(dt_))
 
 

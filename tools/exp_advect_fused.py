@@ -56,42 +56,42 @@ def main():
         print(f"{name:34s} {best * 1e3:8.3f} ms", flush=True)
         return best
 
-    # value agreement on chip
-    stacked = jnp.stack([state.vx, state.vy, state.vz])
-
+    # value agreement on chip. NB the stack must happen INSIDE jit: an eager
+    # jnp.stack commits its result on the TPU and any readback downstream of
+    # eager-committed inputs crashes the relay worker (CLAUDE.md).
     @jax.jit
-    def both(stacked, s):
+    def both(s):
+        stacked = jnp.stack([s.vx, s.vy, s.vz])
         a = ap.advect_split(stacked, s.vx, s.vy, s.vz, float(p.dt))
         b = ap.advect_split_fused(stacked, s.vx, s.vy, s.vz, float(p.dt))
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(a))
-    d, m = (float(x) for x in both(stacked, state))
+    d, m = (float(x) for x in both(state))
     print(f"on-chip max |lane - fused| = {d:.3g} (field max {m:.3g})")
 
     orig = ap.advect_split_auto
+
+    def lane_auto(prev, vx, vy, vz, dt_, use_pallas=True):
+        if use_pallas and ap.lane_lerp_supported(prev.shape):
+            return ap.advect_split(prev, vx, vy, vz, float(dt_))
+        return ap.advect_split_jnp(prev, vx, vy, vz, float(dt_))
 
     def fused_auto(prev, vx, vy, vz, dt_, use_pallas=True):
         if use_pallas and ap.lane_lerp_supported(prev.shape):
             return ap.advect_split_fused(prev, vx, vy, vz, float(dt_))
         return ap.advect_split_jnp(prev, vx, vy, vz, float(dt_))
 
-    import fluid_simulation_tpu.models.windtunnel as wtm
-
+    # windtunnel imports advect_split_auto inside the function body from the
+    # module, so patching the module attribute is enough — but
+    # simulation_step caches on the static params, so clear the jit cache
+    # before each re-trace under a different patched dispatch.
     def step_fn(s, m):
         return simulation_step(s, m, p)[0]
 
-    timeit("full_step lane_lerp", step_fn, state)
-    ap.advect_split_auto = fused_auto
-    wtm_orig = None
-    # windtunnel imports advect_split_auto inside the function body from the
-    # module, so patching the module attribute is enough — but simulation_step
-    # is jitted with params static; use a distinct params object to force a
-    # fresh trace
-    p2 = p.replace(bench_tag="fused") if hasattr(p, "bench_tag") else p
-    def step_fn2(s, m):
-        return simulation_step(s, m, p2)[0]
-    # clear jit cache for a re-trace under the patched dispatch
-    simulation_step._clear_cache()
-    timeit("full_step fused", step_fn2, state)
+    for name, auto in (("full_step lane_lerp", lane_auto),
+                       ("full_step fused", fused_auto)):
+        ap.advect_split_auto = auto
+        simulation_step._clear_cache()
+        timeit(name, step_fn, state)
     ap.advect_split_auto = orig
 
     return 0
