@@ -200,18 +200,23 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
 
         half_padded(True)
         half_padded(False)
-        fpre[...] = out_ref[1:-1, 1:-1, 1:-1]      # pre-keep snapshot
         if apply_keep:
+            fpre[...] = out_ref[1:-1, 1:-1, 1:-1]  # pre-keep snapshot
             out_ref[...] = out_ref[...] * keep_ref[...]
             kp[...] = keep_ref[1:-1, 1:-1, 1:-1]
         fp[...] = out_ref[1:-1, 1:-1, 1:-1]
         pp[...] = prev_i
 
         # ---- sweeps 2..acc, packed: ghosts are signed mirrors of fpre at
-        # the edge positions (see docstring)
+        # the edge positions (see docstring). Every ghost splice reads the
+        # updated cell's OWN position — which is the color being updated
+        # and hence still holds its sweep-start value in ``f`` — so
+        # without a keep multiply the pre-keep snapshot is ``f`` itself
+        # and the fpre scratch + per-sweep copy are dropped (empty-scene
+        # kernels only; with keep, fp is post-keep and fpre is required).
         def half(take_red):
             f = fp[...]
-            pre = fpre[...]
+            pre = fpre[...] if apply_keep else f
             # pltpu.roll takes non-negative shifts: roll by size-1 == -1
             xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
             xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
@@ -227,35 +232,37 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
         def sweep(i, _):
             half(True)
             half(False)
-            fpre[...] = fp[...]                    # pre-keep snapshot
             if apply_keep:
+                fpre[...] = fp[...]                # pre-keep snapshot
                 fp[...] = fp[...] * kp[...]
             return 0
 
         jax.lax.fori_loop(0, acc - 1, sweep, 0)
         out_ref[1:-1, 1:-1, 1:-1] = fp[...]
         # final ghost faces = signed mirrors of the final pre-keep edges
-        # (identical to the legacy kernel's face writes)
-        out_ref[1:-1, 1:-1, 0] = sxc * fpre[:, :, 0]
-        out_ref[1:-1, 1:-1, W + 1] = fpre[:, :, W - 1]     # x+ outflow
-        out_ref[1:-1, 0, 1:-1] = syc * fpre[:, 0, :]
-        out_ref[1:-1, H + 1, 1:-1] = syc * fpre[:, H - 1, :]
-        out_ref[0, 1:-1, 1:-1] = szc * fpre[0]
-        out_ref[D + 1, 1:-1, 1:-1] = szc * fpre[D - 1]
+        # (identical to the legacy kernel's face writes); without keep the
+        # final fp IS the pre-keep field
+        fin = fpre if apply_keep else fp
+        out_ref[1:-1, 1:-1, 0] = sxc * fin[:, :, 0]
+        out_ref[1:-1, 1:-1, W + 1] = fin[:, :, W - 1]      # x+ outflow
+        out_ref[1:-1, 0, 1:-1] = syc * fin[:, 0, :]
+        out_ref[1:-1, H + 1, 1:-1] = syc * fin[:, H - 1, :]
+        out_ref[0, 1:-1, 1:-1] = szc * fin[0]
+        out_ref[D + 1, 1:-1, 1:-1] = szc * fin[D - 1]
 
     if apply_keep:
         def kernel(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
             _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre)
     else:
-        def kernel(prev_ref, field_ref, out_ref, fp, pp, fpre):
-            _body(prev_ref, None, field_ref, out_ref, fp, pp, None, fpre)
+        def kernel(prev_ref, field_ref, out_ref, fp, pp):
+            _body(prev_ref, None, field_ref, out_ref, fp, pp, None, None)
     return kernel
 
 
 def _packed_scratch(shape, dtype, apply_keep):
     from jax.experimental.pallas import tpu as pltpu
     D, H, W = (n - 2 for n in shape)
-    n = 4 if apply_keep else 3                     # fp, pp, (kp), fpre
+    n = 4 if apply_keep else 2                     # fp, pp, (kp, fpre)
     return [pltpu.VMEM((D, H, W), dtype) for _ in range(n)]
 
 

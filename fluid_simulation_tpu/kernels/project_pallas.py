@@ -98,15 +98,18 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         # Poisson: acc red-black sweeps, packed-interior layout. p starts at
         # zero everywhere, and the scalar faces written after each sweep are
         # plain copies of the edge value (all signs 1, x+ = outflow copy), so
-        # a sweep's ghost reads equal the previous sweep's edge values — held
-        # in the fpre snapshot (zeros before sweep 1, matching p's zero init).
+        # a sweep's ghost reads equal the previous sweep's edge values. No
+        # keep multiply here -> the previous sweep's value at a ghost-splice
+        # position (always the updated cell's own, not-yet-touched position)
+        # is ``f`` itself: no snapshot scratch needed (see
+        # linsolve_pallas._make_packed_kernel; before sweep 1 f == 0 == p's
+        # init, which is what the reference's zeroed ghosts read too).
         pp[...] = zero
-        fpre[...] = zero
         crec = jnp.asarray(c_recip, dtype)
 
         def half(take_red):
             f = pp[...]
-            pre = fpre[...]
+            pre = f
             nxp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
             nxm = jnp.where(ix == 0, pre, _roll(f, 1, 2))
             nyp = jnp.where(iy == H - 1, pre, _roll(f, H - 1, 1))
@@ -121,7 +124,6 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         def sweep(i, _):
             half(True)
             half(False)
-            fpre[...] = pp[...]
             return 0
 
         jax.lax.fori_loop(0, acc, sweep, 0)
@@ -152,11 +154,11 @@ def _make_project_kernel(acc: int, wall_mode: str, shape, dtype):
         faces(vzo_ref, *svz)
 
     def kernel(vx_ref, vy_ref, vz_ref, vxo_ref, vyo_ref, vzo_ref,
-               pp, dp, fpre):
+               pp, dp):
         vxo_ref[...] = vx_ref[...]
         vyo_ref[...] = vy_ref[...]
         vzo_ref[...] = vz_ref[...]
-        body(vxo_ref, vyo_ref, vzo_ref, pp, dp, fpre)
+        body(vxo_ref, vyo_ref, vzo_ref, pp, dp, None)
 
     kernel.project_body = body
     return kernel
@@ -357,7 +359,7 @@ def pallas_project_empty(vx, vy, vz, acc: int = 15,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         input_output_aliases={0: 0, 1: 1, 2: 2},
         scratch_shapes=[pltpu.VMEM(tuple(n - 2 for n in shape), vx.dtype)
-                        for _ in range(3)],
+                        for _ in range(2)],
         interpret=interpret,
         **kwargs,
     )(vx, vy, vz)
