@@ -136,3 +136,24 @@ def test_advect_split_fused_matches_lane_path_interpret():
         assert got.shape == want.shape == (3, D, H, W)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6,
                                    err_msg=f"dims={dims}")
+
+
+def test_advect_split_auto_routes_to_lane_path(monkeypatch):
+    """advect_split_auto must dispatch to advect_split (lane_lerp), NOT the
+    fused-backtrace variant: process-isolated A/B on the v5e measured fused
+    1.210 vs 0.965 ms/step at 128x64x64 and 87.0 vs 69.9 at 256^3
+    (NOTES.md "Falsified: fused-backtrace advect passes"). Guards against
+    the default silently flipping back."""
+    import fluid_simulation_tpu.kernels.advect_pallas as ap
+
+    calls = []
+    monkeypatch.setattr(
+        ap, "advect_split",
+        lambda *a, **k: calls.append("lane") or ap.advect_split_jnp(*a, **k))
+    monkeypatch.setattr(
+        ap, "advect_split_fused",
+        lambda *a, **k: calls.append("fused") or ap.advect_split_jnp(*a, **k))
+    monkeypatch.setattr(ap, "lane_lerp_supported", lambda shape: True)
+    prev, vx, vy, vz = _fields(W=10, H=8, D=6, seed=1)
+    ap.advect_split_auto(prev, vx, vy, vz, 0.05)
+    assert calls == ["lane"]
