@@ -16,8 +16,9 @@ NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
 - ``noslip_vorticity``: no-slip walls + vorticity confinement (config 3).
 - ``sweep8``: 8 obstacle geometries in one program, auto-routed
   (config 4) — reported as geometry-steps/s.
-- ``grid_256x128x128`` / ``grid_256x256x256``: big grids (config 5's
-  single-chip proxy; the 2-chip run is exercised by tests + dryrun).
+- ``grid_256x128x128`` / ``grid_256x256x256`` / ``grid_512x256x256``: big
+  grids (config 5's single-chip proxy; the 2-chip run is exercised by
+  tests + dryrun).
 - ``flagship_bf16``: bfloat16 state.
 
 Each config reports ms/step and cell-updates/s; failures are recorded as
@@ -148,6 +149,9 @@ def main():
     record("grid_256x256x256",
            SimParams(width=256, height=256, depth=256, div_stats=False,
                      mode="split"), reps=2, n=4)
+    record("grid_512x256x256",
+           SimParams(width=512, height=256, depth=256, div_stats=False,
+                     mode="split"), reps=2, n=3)
 
     # BASELINE config 4: 8 geometries, one program, auto-routed
     try:

@@ -440,6 +440,15 @@ def temporal_stream_preferred(shape, dtype=jnp.float32,
         return None
     if not pallas_stream_solve_supported(shape, dtype, apply_keep):
         return None
+    # the calibrated (16, 2) choice must also FIT. Calibrated by row size,
+    # not the byte model (_pick_blk_t's model rejects 256^3/blk=16, which
+    # runs and wins on the chip): the largest validated row is 256^3's
+    # 256x256 f32 plane; 512-wide rows (2x the bytes) blow VMEM in the
+    # E-row scratch + halfsweep temporaries and must take the 1-sweep
+    # stream kernel instead.
+    D, H, W = (n - 2 for n in shape)
+    if _tiled_bytes((1, H, W), _itemsize(dtype)) > 256 * 256 * 4:
+        return None
     return (16, 2)
 
 
