@@ -139,19 +139,25 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
 
 
 def _prestep_applicable(p: SimParams, vx) -> bool:
-    if not (p.use_pallas and p.solver == "rbgs"):
-        return False
-    if p.empty_scene:
-        # A/B on the chip (tools/exp_prestep_ab.py): the fused prestep
-        # REGRESSES the empty flagship (1.128 -> 1.217 ms/step) — the
-        # monolithic kernel pipelines worse across scan iterations than the
-        # separate resident solve + fused projection — while the sphere
-        # scene improves 2.18 -> 1.26 ms. Obstacle scenes only.
-        return False
-    from fluid_simulation_tpu.kernels.prestep_pallas import (
-        pallas_prestep_supported)
-    return pallas_prestep_supported(vx.shape, vx.dtype,
-                                    masked=not p.empty_scene)
+    """The fused prestep kernel (kernels/prestep_pallas.py) is DISABLED in
+    the production dispatch; ``pallas_prestep`` stays available (and tested)
+    as an opt-in experiment. Two process-isolated on-chip measurements
+    retired it (tools/exp_obstacle_bisect.py, one variant per process):
+
+    - It faults Mosaic when combined with the lane-lerp split advection in
+      one scanned program (obstacle_sphere: UNAVAILABLE at the first n=50
+      scan; prestep+fused-advect and noprestep+lane-advect both run clean,
+      so the fault is the combination, not either kernel).
+    - It now LOSES even where it once won: with the masked fused projection
+      handling the post-diffusion solve, sphere-scene steps measure
+      1.038 ms/step without the prestep vs 1.185 with it (the original
+      2.18 -> 1.26 win predated the masked projection + epilogue kernels).
+
+    Empty scenes were already excluded (tools/exp_prestep_ab.py: 1.128 ->
+    1.217 ms regression — the monolithic kernel pipelines worse across scan
+    iterations than the separate resident solve + fused projection).
+    """
+    return False
 
 
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):
