@@ -149,3 +149,19 @@ def test_pad_bounds_tail_fallback_matches_set_bounds():
             ref = set_bounds(b, f, masks, wall, empty_scene=empty)
             np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref),
                                           err_msg=f"bs={bs} b={b}")
+
+
+def test_prestep_kernel_stays_retired():
+    """The fused prestep kernel must stay OUT of the production dispatch:
+    combined with the lane-lerp split advection in one scanned program it
+    faults Mosaic (UNAVAILABLE at the first scan), and it measures slower
+    than the masked-fused-projection chain anyway (1.185 vs 1.038 ms/step
+    on the v5e sphere scene — NOTES.md "Retired: fused prestep kernel",
+    tools/exp_obstacle_bisect.py). Guards against the gate flipping back."""
+    from fluid_simulation_tpu.models.windtunnel import _prestep_applicable
+
+    sphere = np.asarray(add_sphere(empty_obstacles(16, 8, 8), 6, 4, 4, 2))
+    for params, obs in ((PARAMS, None), (PARAMS, sphere),
+                        (SimParams(mode="split"), None)):
+        wt = WindTunnel(params, obstacles=obs)
+        assert _prestep_applicable(wt.params, wt.state.vx) is False
