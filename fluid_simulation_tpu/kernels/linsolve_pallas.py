@@ -82,15 +82,7 @@ def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
     # cannot capture traced/ndarray values from the enclosing scope)
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        # matches ops/bounds._set_bounds_noslip: x- mirrors (negated only for
-        # vx so the inlet survives); y/z walls negate every component
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
+    sx, sy, sz = _face_signs(b, wall_mode)
 
     def kernel(prev_ref, keep_ref, field_ref, out_ref):
         _kernel_body(prev_ref, keep_ref, field_ref, out_ref)
@@ -140,6 +132,18 @@ def _make_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
     return kernel if apply_keep else kernel_nokeep
 
 
+def _face_signs(b: int, wall_mode: str):
+    """Ghost-face mirror signs for field type ``b`` (setBounds,
+    simulation.cpp:183-216; noslip variant per ops/bounds.py)."""
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        # matches ops/bounds._set_bounds_noslip: x- mirrors (negated only for
+        # vx so the inlet survives); y/z walls negate every component
+        return (-1.0 if b == 1 else 1.0), -1.0, -1.0
+    return ((-1.0 if b == 1 else 1.0),
+            (-1.0 if b == 2 else 1.0),
+            (-1.0 if b == 3 else 1.0))
+
+
 def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
                         shape, dtype, apply_keep: bool = True):
     """Packed-interior variant: all sweep arithmetic runs on (D, H, W)
@@ -159,104 +163,112 @@ def _make_packed_kernel(b: int, acc: int, a: float, c: float, wall_mode: str,
     padded kernel by construction, including the subtle case that solid
     cells carry nonzero intermediate values within a sweep (keep applies at
     sweep end) and neighbors read their stale pre-keep mirrors."""
+    signs = _face_signs(b, wall_mode)
+    if apply_keep:
+        def kernel(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
+            _packed_body(prev_ref, keep_ref, field_ref, out_ref,
+                         fp, pp, kp, fpre, shape=shape, dtype=dtype,
+                         signs=signs, a=a, c=c, acc=acc,
+                         apply_keep=apply_keep)
+    else:
+        def kernel(prev_ref, field_ref, out_ref, fp, pp):
+            _packed_body(prev_ref, None, field_ref, out_ref,
+                         fp, pp, None, None, shape=shape, dtype=dtype,
+                         signs=signs, a=a, c=c, acc=acc,
+                         apply_keep=apply_keep)
+    return kernel
+
+
+def _packed_body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre,
+                 *, shape, dtype, signs, a, c, acc, apply_keep):
+    """The packed-interior solve on one field (see _make_packed_kernel's
+    docstring for the ghost algebra). Module-level so the fused multi-field
+    kernel (``pallas_rbgs_solve3``) can run it per field with per-field
+    signs; op order is untouched, so values stay bitwise-identical to the
+    single-field kernel."""
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
+    sx, sy, sz = signs
 
-    def _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
-        out_ref[...] = field_ref[...]
-        prev_i = prev_ref[1:-1, 1:-1, 1:-1]
-        iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
-        iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
-        red = ((iz + iy + ix) % 2) == 1
-        a_c = jnp.asarray(a_lit, dtype)
-        crec = jnp.asarray(crec_lit, dtype)
-        sxc = jnp.asarray(sx, dtype)
-        syc = jnp.asarray(sy, dtype)
-        szc = jnp.asarray(sz, dtype)
+    out_ref[...] = field_ref[...]
+    prev_i = prev_ref[1:-1, 1:-1, 1:-1]
+    iz = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2)
+    red = ((iz + iy + ix) % 2) == 1
+    a_c = jnp.asarray(a_lit, dtype)
+    crec = jnp.asarray(crec_lit, dtype)
+    sxc = jnp.asarray(sx, dtype)
+    syc = jnp.asarray(sy, dtype)
+    szc = jnp.asarray(sz, dtype)
 
-        # ---- sweep 1, legacy padded form: the only sweep that reads the
-        # caller's (arbitrary) input ghost faces
-        def half_padded(take_red):
-            f = out_ref[...]
-            s = (
-                (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
-                  + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
-                + f[2:, 1:-1, 1:-1]
-            ) + f[:-2, 1:-1, 1:-1]
-            upd = (prev_i + a_c * s) * crec
-            cur = f[1:-1, 1:-1, 1:-1]
-            sel = red if take_red else jnp.logical_not(red)
-            out_ref[1:-1, 1:-1, 1:-1] = jnp.where(sel, upd, cur)
+    # ---- sweep 1, legacy padded form: the only sweep that reads the
+    # caller's (arbitrary) input ghost faces
+    def half_padded(take_red):
+        f = out_ref[...]
+        s = (
+            (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
+              + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
+            + f[2:, 1:-1, 1:-1]
+        ) + f[:-2, 1:-1, 1:-1]
+        upd = (prev_i + a_c * s) * crec
+        cur = f[1:-1, 1:-1, 1:-1]
+        sel = red if take_red else jnp.logical_not(red)
+        out_ref[1:-1, 1:-1, 1:-1] = jnp.where(sel, upd, cur)
 
-        half_padded(True)
-        half_padded(False)
-        if apply_keep:
-            fpre[...] = out_ref[1:-1, 1:-1, 1:-1]  # pre-keep snapshot
-            out_ref[...] = out_ref[...] * keep_ref[...]
-            kp[...] = keep_ref[1:-1, 1:-1, 1:-1]
-        fp[...] = out_ref[1:-1, 1:-1, 1:-1]
-        pp[...] = prev_i
-
-        # ---- sweeps 2..acc, packed: ghosts are signed mirrors of fpre at
-        # the edge positions (see docstring). Every ghost splice reads the
-        # updated cell's OWN position — which is the color being updated
-        # and hence still holds its sweep-start value in ``f`` — so
-        # without a keep multiply the pre-keep snapshot is ``f`` itself
-        # and the fpre scratch + per-sweep copy are dropped (empty-scene
-        # kernels only; with keep, fp is post-keep and fpre is required).
-        def half(take_red):
-            f = fp[...]
-            pre = fpre[...] if apply_keep else f
-            # pltpu.roll takes non-negative shifts: roll by size-1 == -1
-            xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
-            xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
-            yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
-            ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
-            zp = jnp.concatenate([f[1:], szc * pre[D - 1:]], axis=0)
-            zm = jnp.concatenate([szc * pre[:1], f[:D - 1]], axis=0)
-            s = (((xp + xm) + yp) + ym + zp) + zm
-            upd = (pp[...] + a_c * s) * crec
-            sel = red if take_red else jnp.logical_not(red)
-            fp[...] = jnp.where(sel, upd, f)
-
-        def sweep(i, _):
-            half(True)
-            half(False)
-            if apply_keep:
-                fpre[...] = fp[...]                # pre-keep snapshot
-                fp[...] = fp[...] * kp[...]
-            return 0
-
-        jax.lax.fori_loop(0, acc - 1, sweep, 0)
-        out_ref[1:-1, 1:-1, 1:-1] = fp[...]
-        # final ghost faces = signed mirrors of the final pre-keep edges
-        # (identical to the legacy kernel's face writes); without keep the
-        # final fp IS the pre-keep field
-        fin = fpre if apply_keep else fp
-        out_ref[1:-1, 1:-1, 0] = sxc * fin[:, :, 0]
-        out_ref[1:-1, 1:-1, W + 1] = fin[:, :, W - 1]      # x+ outflow
-        out_ref[1:-1, 0, 1:-1] = syc * fin[:, 0, :]
-        out_ref[1:-1, H + 1, 1:-1] = syc * fin[:, H - 1, :]
-        out_ref[0, 1:-1, 1:-1] = szc * fin[0]
-        out_ref[D + 1, 1:-1, 1:-1] = szc * fin[D - 1]
-
+    half_padded(True)
+    half_padded(False)
     if apply_keep:
-        def kernel(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre):
-            _body(prev_ref, keep_ref, field_ref, out_ref, fp, pp, kp, fpre)
-    else:
-        def kernel(prev_ref, field_ref, out_ref, fp, pp):
-            _body(prev_ref, None, field_ref, out_ref, fp, pp, None, None)
-    return kernel
+        fpre[...] = out_ref[1:-1, 1:-1, 1:-1]  # pre-keep snapshot
+        out_ref[...] = out_ref[...] * keep_ref[...]
+        kp[...] = keep_ref[1:-1, 1:-1, 1:-1]
+    fp[...] = out_ref[1:-1, 1:-1, 1:-1]
+    pp[...] = prev_i
+
+    # ---- sweeps 2..acc, packed: ghosts are signed mirrors of fpre at
+    # the edge positions (see docstring). Every ghost splice reads the
+    # updated cell's OWN position — which is the color being updated
+    # and hence still holds its sweep-start value in ``f`` — so
+    # without a keep multiply the pre-keep snapshot is ``f`` itself
+    # and the fpre scratch + per-sweep copy are dropped (empty-scene
+    # kernels only; with keep, fp is post-keep and fpre is required).
+    def half(take_red):
+        f = fp[...]
+        pre = fpre[...] if apply_keep else f
+        # pltpu.roll takes non-negative shifts: roll by size-1 == -1
+        xp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
+        xm = jnp.where(ix == 0, sxc * pre, _roll(f, 1, 2))
+        yp = jnp.where(iy == H - 1, syc * pre, _roll(f, H - 1, 1))
+        ym = jnp.where(iy == 0, syc * pre, _roll(f, 1, 1))
+        zp = jnp.concatenate([f[1:], szc * pre[D - 1:]], axis=0)
+        zm = jnp.concatenate([szc * pre[:1], f[:D - 1]], axis=0)
+        s = (((xp + xm) + yp) + ym + zp) + zm
+        upd = (pp[...] + a_c * s) * crec
+        sel = red if take_red else jnp.logical_not(red)
+        fp[...] = jnp.where(sel, upd, f)
+
+    def sweep(i, _):
+        half(True)
+        half(False)
+        if apply_keep:
+            fpre[...] = fp[...]                # pre-keep snapshot
+            fp[...] = fp[...] * kp[...]
+        return 0
+
+    jax.lax.fori_loop(0, acc - 1, sweep, 0)
+    out_ref[1:-1, 1:-1, 1:-1] = fp[...]
+    # final ghost faces = signed mirrors of the final pre-keep edges
+    # (identical to the legacy kernel's face writes); without keep the
+    # final fp IS the pre-keep field
+    fin = fpre if apply_keep else fp
+    out_ref[1:-1, 1:-1, 0] = sxc * fin[:, :, 0]
+    out_ref[1:-1, 1:-1, W + 1] = fin[:, :, W - 1]      # x+ outflow
+    out_ref[1:-1, 0, 1:-1] = syc * fin[:, 0, :]
+    out_ref[1:-1, H + 1, 1:-1] = syc * fin[:, H - 1, :]
+    out_ref[0, 1:-1, 1:-1] = szc * fin[0]
+    out_ref[D + 1, 1:-1, 1:-1] = szc * fin[D - 1]
 
 
 def _packed_scratch(shape, dtype, apply_keep):
@@ -310,6 +322,93 @@ def pallas_rbgs_solve(b: int, field: jnp.ndarray, prev: jnp.ndarray,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * _tiled_bytes(shape),
+            transcendentals=0),
+        **kwargs,
+    )(*operands)
+
+
+def pallas_solve3_supported(shape, dtype=jnp.float32) -> bool:
+    """Gate for the fused 3-field solve: three resident (field, prev) pairs
+    plus one shared keep and the reused packed scratch must fit VMEM."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if len(shape) != 3 or min(shape) < 4:
+        return False
+    it = _itemsize(dtype)
+    need = (7 * _tiled_bytes(shape, it)          # 3x(prev,field/out) + keep
+            + 5 * _tiled_bytes(tuple(n - 2 for n in shape), it))
+    return need <= VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "a", "c", "acc",
+                                              "wall_mode", "interpret",
+                                              "empty_scene"))
+def pallas_rbgs_solve3(bs, f1, f2, f3, p1, p2, p3, keep,
+                       a: float, c: float, acc: int = 15,
+                       wall_mode: str = "reference",
+                       interpret: bool = False,
+                       empty_scene: bool = False):
+    """Three independent packed solves (same ``a``/``c``, field types
+    ``bs = (b1, b2, b3)``) fused into ONE pallas_call — the step's three
+    velocity diffusions (simulation.cpp:115-117) ride a single kernel
+    launch, amortizing the per-call fixed cost (VMEM priming + grid setup,
+    ~35 us/call measured by tools/exp_overhead.py) that three back-to-back
+    resident solves each pay.
+
+    Values are bitwise-identical to three ``pallas_rbgs_solve(..,
+    packed=True)`` calls: each field runs the exact ``_packed_body`` with
+    its own signs, sequentially, sharing only the scratch buffers (dead
+    between fields). ``keep`` is the single shared multiplier (velocity
+    components all use masks.keep_vel); ``None`` with ``empty_scene``."""
+    shape = f1.shape
+    dtype = f1.dtype
+    apply_keep = not empty_scene
+    D, H, W = (n - 2 for n in shape)
+
+    def body(refs):
+        if apply_keep:
+            (p1r, p2r, p3r, keepr, f1r, f2r, f3r,
+             o1, o2, o3, fp, pp, kp, fpre) = refs
+        else:
+            p1r, p2r, p3r, f1r, f2r, f3r, o1, o2, o3, fp, pp = refs
+            keepr = kp = fpre = None
+        for b, pr, fr, orf in ((bs[0], p1r, f1r, o1),
+                               (bs[1], p2r, f2r, o2),
+                               (bs[2], p3r, f3r, o3)):
+            _packed_body(pr, keepr, fr, orf, fp, pp, kp, fpre,
+                         shape=shape, dtype=dtype,
+                         signs=_face_signs(b, wall_mode),
+                         a=a, c=c, acc=acc, apply_keep=apply_keep)
+
+    if apply_keep:
+        def kernel(p1r, p2r, p3r, keepr, f1r, f2r, f3r, o1, o2, o3,
+                   fp, pp, kp, fpre):
+            body((p1r, p2r, p3r, keepr, f1r, f2r, f3r, o1, o2, o3,
+                  fp, pp, kp, fpre))
+        operands = (p1, p2, p3, keep, f1, f2, f3)
+    else:
+        def kernel(p1r, p2r, p3r, f1r, f2r, f3r, o1, o2, o3, fp, pp):
+            body((p1r, p2r, p3r, f1r, f2r, f3r, o1, o2, o3, fp, pp))
+        operands = (p1, p2, p3, f1, f2, f3)
+
+    n_in = len(operands)
+    flops = 3 * 10 * acc * 2 * int(np.prod(shape))
+    kwargs = {"scratch_shapes": _packed_scratch(shape, dtype, apply_keep)}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    out = jax.ShapeDtypeStruct(shape, dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out, out, out),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=12 * _tiled_bytes(shape),
             transcendentals=0),
         **kwargs,
     )(*operands)

@@ -160,6 +160,43 @@ def _prestep_applicable(p: SimParams, vx) -> bool:
     return False
 
 
+def _diffuse3_applicable(p: SimParams) -> bool:
+    """The fused 3-field diffusion kernel (pallas_rbgs_solve3) is DISABLED
+    in the production dispatch: process-isolated on-chip A/B at the flagship
+    grid measured it NEUTRAL (empty 0.925 stock vs 0.930 fused; sphere 1.035
+    vs 1.042 ms/step; tools/exp_diffuse3.py, one variant per process,
+    bitwise-identical outputs) — the per-call fixed cost it was built to
+    amortize (~35 us/solve in exp_overhead.py's back-to-back scan) is
+    already hidden by cross-kernel pipelining inside the real heterogeneous
+    step. Kept tested and available as an opt-in experiment; fusing kernels
+    for zero gain only buys Mosaic-combination risk (see
+    _prestep_applicable)."""
+    return False
+
+
+def _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz, masks, p: SimParams,
+                          vel_diff: float, kw: dict):
+    """The step's three velocity diffusions (simulation.cpp:115-117). The
+    fused single-call kernel (kernels/linsolve_pallas.py::pallas_rbgs_solve3,
+    bitwise-identical) is gated off by _diffuse3_applicable — measured
+    neutral; the composable per-field diffuse is the production path."""
+    if _diffuse3_applicable(p) and p.use_pallas and p.solver == "rbgs":
+        from fluid_simulation_tpu.kernels.linsolve_pallas import (
+            pallas_rbgs_solve3, pallas_solve3_supported)
+        if pallas_solve3_supported(vx.shape, vx.dtype):
+            from fluid_simulation_tpu.ops.linsolve import diffusion_coeffs
+            a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt,
+                                    vel_diff)
+            keep = None if p.empty_scene else masks.keep_vel
+            return pallas_rbgs_solve3(
+                (1, 2, 3), vx, vy, vz, pvx, pvy, pvz, keep,
+                float(a), float(c), acc=p.acc, wall_mode=p.wall_mode,
+                empty_scene=p.empty_scene)
+    return (diffuse(1, vx, pvx, masks, p.dt, vel_diff, **kw),
+            diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw),
+            diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw))
+
+
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):
     """Projection with the whole-stage fused kernel when applicable (empty
     scene, rbgs, TPU — kernels/project_pallas.py, bit-identical to the
@@ -217,10 +254,8 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         vx, vy, vz = pallas_prestep(vx, vy, vz, fl, kv, float(a), float(c),
                                     acc=p.acc, wall_mode=p.wall_mode)
     else:
-        vx = diffuse(1, vx, pvx, masks, p.dt, vel_diff, **kw)
-        vy = diffuse(2, vy, pvy, masks, p.dt, vel_diff, **kw)
-        vz = diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw)
-
+        vx, vy, vz = _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz,
+                                           masks, p, vel_diff, kw)
         vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 
     if p.mode == "compat":

@@ -55,6 +55,33 @@ def test_packed_solve_matches_oracle(b, kw):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("empty,wm", [
+    (False, "reference"), (True, "reference"), (False, "noslip")])
+def test_fused_solve3_matches_three_calls(empty, wm):
+    """pallas_rbgs_solve3 (one call, three fields) is bitwise-equal to three
+    packed solves with b=1,2,3. On-chip the same held at the flagship grid
+    (tools/exp_diffuse3.py: identical 20-step state SHA); the fused kernel is
+    gated off in the step dispatch (measured neutral — see
+    models/windtunnel._diffuse3_applicable)."""
+    from fluid_simulation_tpu.kernels.linsolve_pallas import pallas_rbgs_solve3
+    f, g, masks = _setup()
+    rng = np.random.default_rng(3)
+    shape = f.shape
+    fs = [f] + [jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                for _ in range(2)]
+    ps = [g] + [jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                for _ in range(2)]
+    keep = None if empty else masks.keep_vel
+    ref = [pallas_rbgs_solve(b, fs[i], ps[i], keep, 1.0, 6.0, acc=5,
+                             wall_mode=wm, interpret=True, packed=True,
+                             empty_scene=empty)
+           for i, b in enumerate((1, 2, 3))]
+    got = pallas_rbgs_solve3((1, 2, 3), *fs, *ps, keep, 1.0, 6.0, acc=5,
+                             wall_mode=wm, interpret=True, empty_scene=empty)
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref[i]))
+
+
 def test_pallas_solve_noslip_mode():
     f, g, masks = _setup()
     ref = linear_solver(2, f, g, 0.5, 4.0, masks, acc=5, solver="rbgs",
