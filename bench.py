@@ -131,7 +131,10 @@ def main():
 
     # 128x64x64 reference defaults; like the reference, no residual pass
     # inside the timed loop (stats computed once on the final state)
-    base = SimParams(div_stats=False)
+    # per-step stats off: the reference sums density on the host every
+    # 100 steps only (simulation.cpp:73-77); bench computes final-state
+    # stats separately after timing
+    base = SimParams(div_stats=False, step_stats=False)
     split = base.replace(mode="split")
 
     t_split = record("flagship_split", split, n=100)
@@ -145,13 +148,13 @@ def main():
     record("flagship_bf16", split.replace(dtype="bfloat16"), n=50)
     record("grid_256x128x128",
            SimParams(width=256, height=128, depth=128, div_stats=False,
-                     mode="split"), reps=2, n=10)
+                     step_stats=False, mode="split"), reps=2, n=10)
     record("grid_256x256x256",
            SimParams(width=256, height=256, depth=256, div_stats=False,
-                     mode="split"), reps=2, n=4)
+                     step_stats=False, mode="split"), reps=2, n=4)
     record("grid_512x256x256",
            SimParams(width=512, height=256, depth=256, div_stats=False,
-                     mode="split"), reps=2, n=3)
+                     step_stats=False, mode="split"), reps=2, n=3)
 
     # BASELINE config 4: 8 geometries, one program, auto-routed
     try:

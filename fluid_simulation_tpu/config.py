@@ -76,6 +76,14 @@ class SimParams:
     # are always collected.
     div_stats: bool = True
 
+    # Collect the per-step density sum in StepStats. The reference only sums
+    # density on the host every 100 steps (simulation.cpp:73-77); per-step
+    # sums measurably cost ~0.08 ms/step at the flagship grid inside the
+    # scanned step (tools/exp_prefix.py), so throughput-focused runs can
+    # turn them off (StepStats.density_sum becomes NaN; end-of-run stats via
+    # WindTunnel.density_sum()/field_ranges() are unaffected).
+    step_stats: bool = True
+
     # compat/fast advection: when > 0, fetch the trilinear corners with the
     # bounded-window Mosaic kernel (kernels/advect_compat.py) allowing y/z
     # backtrace offsets up to this many cells, with an exact runtime

@@ -320,8 +320,13 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         max_div = jnp.max(jnp.abs(divergence(vx, vy, vz, masks, h)))
     else:
         max_div = jnp.asarray(jnp.nan, jnp.float32)
-    stats = StepStats(density_sum=jnp.sum(dens, dtype=jnp.float32),
-                      max_divergence=max_div)
+    if p.step_stats:
+        density_sum = jnp.sum(dens, dtype=jnp.float32)
+    else:
+        # per-step reductions cost ~0.08 ms/step at the flagship grid
+        # (tools/exp_prefix.py); the reference only sums every 100 steps
+        density_sum = jnp.asarray(jnp.nan, jnp.float32)
+    stats = StepStats(density_sum=density_sum, max_divergence=max_div)
     return new_state, stats
 
 
