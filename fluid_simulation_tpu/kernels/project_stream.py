@@ -44,12 +44,35 @@ from fluid_simulation_tpu.kernels.linsolve_stream import (
     pallas_stream_solve_supported, temporal_stream_preferred)
 from fluid_simulation_tpu.ops.project import grid_h
 
-BLK = 16   # z-block of the div/grad kernels (same envelope as the solve)
+BLK = 16   # preferred z-block of the div/grad kernels
 HB = 8     # halo-stream block
 
 
+def _pick_blk_proj(shape, dtype):
+    """Largest z-block whose div AND grad stages fit VMEM (double-buffered
+    windows). At 256^3-class rows this returns the calibrated 16; 512-wide
+    rows (2x the bytes) must drop to 8 — the hardcoded BLK=16 blew the
+    512x256x256 compile inside bench.py (scoped-VMEM overflow in the div
+    stage's three padded 24-row window streams)."""
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    it = _itemsize(dtype)
+    rbp = _tiled_bytes((1,) + shape[1:], it)   # padded row
+    rbi = _tiled_bytes((1, H, W), it)          # packed row
+    for blk in (BLK, 8):
+        if blk > D:
+            continue
+        hb = min(HB, blk)
+        div = 2 * (3 * (blk + hb) * rbp + blk * rbi)
+        grad = 2 * ((blk + 2 * hb) * rbi + 3 * blk * rbi)
+        if max(div, grad) <= VMEM_BUDGET_BYTES:
+            return blk
+    return None
+
+
 def pallas_project_stream_supported(shape, dtype=jnp.float32) -> bool:
-    return pallas_stream_solve_supported(shape, dtype, apply_keep=False)
+    return (pallas_stream_solve_supported(shape, dtype, apply_keep=False)
+            and _pick_blk_proj(shape, dtype) is not None)
 
 
 def _div_kernel_maker(shape, blk, dtype):
@@ -131,16 +154,21 @@ def _grad_kernel_maker(shape, blk, hb, dtype):
 def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
                                  wall_mode: str = "reference",
                                  interpret: bool = False,
-                                 blk: int = BLK):
+                                 blk: int | None = None):
     """Projection for >VMEM empty scenes; returns the *packed* projected
     velocities ``(3, D, H, W)`` — the caller applies the pad+bounds tail.
     Bitwise-equal to ``ops.project.project(..., empty_scene=True)``'s
-    interior."""
+    interior. ``blk`` sizes the div/grad stages (auto when None); the
+    Poisson sweeps use linsolve_stream's own calibrated block."""
     shape = vx.shape
     dtype = vx.dtype
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     interior = (D, H, W)
+    if blk is None:
+        blk = _pick_blk_proj(shape, dtype)
+        if blk is None:
+            raise ValueError(f"no streamed-projection block fits {shape}")
     nblk = -(-D // blk)
     hb = min(HB, blk)
     if blk % hb:
@@ -194,9 +222,11 @@ def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
 
         fpre, _ = jax.lax.scan(sweep_t, fpre, None, length=npass)
     if nsw_left:
+        from fluid_simulation_tpu.kernels.linsolve_stream import _pick_blk
+        sweep_blk = _pick_blk(shape, dtype, apply_keep=False) or blk
         sweep_call = make_packed_sweep_call(0, 1.0, 6.0, wall_mode,
-                                            interior, dtype, False, blk,
-                                            interpret)
+                                            interior, dtype, False,
+                                            sweep_blk, interpret)
 
         def sweep(f, _):
             return sweep_call(f, f, f, rp, rp, rp), None
