@@ -17,9 +17,11 @@ post-keep base as ``fpre * keep`` in VMEM, splices ghost reads with
 ``pltpu.roll`` + iota-edge ``where`` selects whose selected operand is
 ``sign * fpre`` *at the same position* (no slicing, no 2-D arrays), and
 emits the new pre-keep field. Sweep 1 — the only sweep that must honour
-the caller's arbitrary padded ghost faces — runs through the proven padded
-1-sweep kernel (linsolve_blocked) in no-keep mode, which yields exactly the
-pre-keep field the packed sweeps carry forward.
+the caller's arbitrary padded ghost faces — runs a dedicated kernel
+(make_sweep1_packed_call) that streams PADDED field windows in and emits
+the packed pre-keep field fpre_1 directly (same numerics as
+linsolve_blocked's sweep; the padded output write and the separate interior
+slice of the former pre-solve both disappear — tools/exp_fixed.py).
 
 Cross-block z halo: the field enters as three clamped z-block windows and
 the red half is recomputed one row outside the block (the black half of
@@ -78,19 +80,57 @@ def pallas_stream_solve_supported(shape, dtype=jnp.float32,
     return _pick_blk(shape, dtype, apply_keep) is not None
 
 
+def _solve_signs(b: int, wall_mode: str):
+    """Face mirror signs of set_bounds for field class ``b``
+    (ops/bounds.py; x+ is always the outflow copy, simulation.cpp:191)."""
+    if wall_mode == "noslip" and b in (1, 2, 3):
+        return (-1.0 if b == 1 else 1.0), -1.0, -1.0
+    return ((-1.0 if b == 1 else 1.0),
+            (-1.0 if b == 2 else 1.0),
+            (-1.0 if b == 3 else 1.0))
+
+
+def _rebuild_padded(field, fpre, kp, b, wall_mode, empty_scene):
+    """Padded solve output from the final pre-keep interior ``fpre``:
+    interior = fpre * keep, faces = set_bounds' signed mirrors of the
+    pre-keep edges (x+ = outflow copy), ghost edges/corners passed through
+    from ``field`` untouched (set_bounds never writes them — ops/bounds.py).
+
+    Built with nested concats so XLA emits ONE fused output pass: the
+    previous ``.at[].set`` chain materialised a full-array copy per face
+    write — 2.17 ms per solve at 256^3, of which the six face writes alone
+    were ~1.6 ms (tools/exp_fixed.py; same pathology the concat fallback in
+    models/windtunnel._pad_bounds_tail already solved)."""
+    dt = field.dtype
+    sx, sy, sz = (jnp.asarray(s, dt) for s in _solve_signs(b, wall_mode))
+    core = fpre if empty_scene else fpre * kp
+    # middle z rows: x faces, then y faces with the ghost-edge columns
+    lvl1 = jnp.concatenate([sx * fpre[:, :, :1], core, fpre[:, :, -1:]],
+                           axis=2)                        # (D, H, W2)
+    fy0 = jnp.concatenate([field[1:-1, :1, :1], sy * fpre[:, :1, :],
+                           field[1:-1, :1, -1:]], axis=2)  # (D, 1, W2)
+    fy1 = jnp.concatenate([field[1:-1, -1:, :1], sy * fpre[:, -1:, :],
+                           field[1:-1, -1:, -1:]], axis=2)
+    lvl2 = jnp.concatenate([fy0, lvl1, fy1], axis=1)      # (D, H2, W2)
+    # z ghost planes: interior = sz * fpre edge plane, ring from ``field``
+    fz0i = jnp.concatenate([field[:1, 1:-1, :1], sz * fpre[:1],
+                            field[:1, 1:-1, -1:]], axis=2)
+    fz0 = jnp.concatenate([field[:1, :1, :], fz0i, field[:1, -1:, :]],
+                          axis=1)                         # (1, H2, W2)
+    fz1i = jnp.concatenate([field[-1:, 1:-1, :1], sz * fpre[-1:],
+                            field[-1:, 1:-1, -1:]], axis=2)
+    fz1 = jnp.concatenate([field[-1:, :1, :], fz1i, field[-1:, -1:, :]],
+                          axis=1)
+    return jnp.concatenate([fz0, lvl2, fz1], axis=0)
+
+
 def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
                        interior, blk: int, dtype, apply_keep: bool,
                        xshift: str = "roll"):
     D, H, W = interior
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
+    sx, sy, sz = _solve_signs(b, wall_mode)
 
     hb = min(8, blk)                     # halo-stream block height
 
@@ -164,6 +204,127 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
     return kernel
 
 
+def _make_sweep1_kernel(b: int, a: float, c: float, shape, blk: int, dtype):
+    """Sweep-1 kernel: PADDED field windows in (the only sweep that must
+    honour the caller's true ghost faces), packed rhs windows in, PACKED
+    pre-keep result out. The update expression, operand order and red/black
+    phasing match linsolve_blocked exactly; no face writes and no keep —
+    the output is the pre-keep interior the packed sweeps carry
+    (simulation.cpp:251-273 sweep 1)."""
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    a_lit = float(np.float32(a))
+    crec_lit = float(np.float32(1.0) / np.float32(c))
+    E = blk + 2
+    hb = min(8, blk)
+
+    def kernel(flo, fmid, fhi, rlo, rmid, rhi, out, ext):
+        k = pl.program_id(0)
+        # ext row e <-> padded row gz = k*blk - 1 + e  (e in [0, blk+3])
+        ext[0:1] = flo[hb - 1:]
+        ext[1:blk + 1] = fmid[...]
+        ext[blk + 1:] = fhi[:3]
+        # rhs rows align with update rows e in [1, blk+2]
+        rhs = jnp.concatenate([rlo[hb - 1:], rmid[...], rhi[:1]], axis=0)
+
+        gz = jax.lax.broadcasted_iota(jnp.int32, (E, H, W), 0) + k * blk
+        gy = jax.lax.broadcasted_iota(jnp.int32, (E, H, W), 1) + 1
+        gx = jax.lax.broadcasted_iota(jnp.int32, (E, H, W), 2) + 1
+        interior = (gz >= 1) & (gz <= D)
+        parity = ((gz + gy + gx) % 2) == 0                 # masks.red_i
+        a_c = jnp.asarray(a_lit, dtype)
+        crec = jnp.asarray(crec_lit, dtype)
+
+        def halfsweep(lo_e, hi_e, sel):
+            f = ext[lo_e - 1:hi_e + 2]                     # rows +-1 halo
+            s = (
+                (((f[1:-1, 1:-1, 2:] + f[1:-1, 1:-1, :-2])
+                  + f[1:-1, 2:, 1:-1]) + f[1:-1, :-2, 1:-1])
+                + f[2:, 1:-1, 1:-1]
+            ) + f[:-2, 1:-1, 1:-1]
+            upd = (rhs[lo_e - 1:hi_e] + a_c * s) * crec
+            ext[lo_e:hi_e + 1, 1:-1, 1:-1] = jnp.where(
+                sel[lo_e - 1:hi_e], upd, f[1:-1, 1:-1, 1:-1])
+
+        halfsweep(1, blk + 2, parity & interior)           # red on rows +-1
+        halfsweep(2, blk + 1, jnp.logical_not(parity) & interior)
+        out[...] = ext[2:blk + 2, 1:-1, 1:-1]
+
+    return kernel
+
+
+def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
+                            interpret):
+    """Build the sweep-1 pallas_call: ``call(f, f, f, rp, rp, rp)`` maps the
+    PADDED field (true ghosts) + packed rhs to the packed pre-keep field
+    after one sweep. Replaces linsolve_blocked(acc=1) + the fpre interior
+    slice: the padded output write (1.5x lane-tile bytes) and the separate
+    XLA slice pass both disappear (~0.9 ms of the 2.3 ms per-solve fixed
+    cost at 256^3 — tools/exp_fixed.py). ``wall_mode`` is unused (no face
+    writes) but kept for signature symmetry.
+
+    ``blk`` is a hint: the kernel needs 3 rows from its hi window (hb >= 3)
+    and hb | blk, so caller blocks that violate either (tests use 2) snap
+    to the nearest valid size — sweep 1 runs its own grid, independent of
+    the sweep loop's."""
+    D2, H2, W2 = shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+
+    def _ok(cand):
+        h = min(8, cand)
+        return h >= 3 and cand % h == 0 and cand <= D
+    if not _ok(blk):
+        for cand in (16, 8, 4, 3):
+            if _ok(cand):
+                blk = cand
+                break
+        else:
+            raise ValueError(f"no sweep-1 block fits D={D}")
+    interior = (D, H, W)
+    nblk = -(-D // blk)
+    hb = min(8, blk)
+    r = blk // hb
+    nhb = -(-D // hb)
+    nhb_pad = -(-D2 // hb)
+    kernel = _make_sweep1_kernel(b, a, c, shape, blk, dtype)
+    fmid = pl.BlockSpec((blk,) + shape[1:], lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    flo = pl.BlockSpec((hb,) + shape[1:],
+                       lambda k: (jnp.maximum(k * r - 1, 0), 0, 0),
+                       memory_space=pltpu.VMEM)
+    fhi = pl.BlockSpec((hb,) + shape[1:],
+                       lambda k: (jnp.minimum(k * r + r, nhb_pad - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    rmid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rlo = pl.BlockSpec((hb, H, W),
+                       lambda k: (jnp.maximum(k * r - 1, 0), 0, 0),
+                       memory_space=pltpu.VMEM)
+    rhi = pl.BlockSpec((hb, H, W),
+                       lambda k: (jnp.minimum(k * r + r, nhb - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct(interior, dtype),
+        in_specs=[flo, fmid, fhi, rlo, rmid, rhi],
+        out_specs=rmid,
+        scratch_shapes=[pltpu.VMEM((blk + 4,) + shape[1:], dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * int(np.prod(interior)),
+            bytes_accessed=int(2.5 * _tiled_bytes(shape, _itemsize(dtype))
+                               + 2 * _tiled_bytes(interior,
+                                                  _itemsize(dtype))),
+            transcendentals=0),
+        **kwargs,
+    )
+
+
 def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
                            blk, interpret, xshift="roll"):
     """Build the per-sweep pallas_call: ``call(f, f, f, rp, rp, rp[, kp, kp,
@@ -224,8 +385,6 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
 
     Requires ``keep == 1`` on the ghost shell (true for every mask from
     ``build_masks``; see the resident packed kernel's contract)."""
-    from fluid_simulation_tpu.kernels.linsolve_blocked import (
-        pallas_rbgs_solve_blocked)
     shape = field.shape
     dtype = field.dtype
     apply_keep = not empty_scene
@@ -239,13 +398,12 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
         raise ValueError("blk must be >= 2")
     nblk = -(-D // blk)
 
-    # sweep 1 on the padded layout (arbitrary caller ghosts), WITHOUT the
-    # keep multiply: its interior is exactly the pre-keep field fpre_1
-    pre1 = pallas_rbgs_solve_blocked(b, field, prev, None, a, c, acc=1,
-                                     wall_mode=wall_mode, interpret=interpret,
-                                     empty_scene=True)
-    fpre = pre1[1:-1, 1:-1, 1:-1]
+    # sweep 1 reads the caller's true padded ghosts, WITHOUT the keep
+    # multiply: its packed output is exactly the pre-keep field fpre_1
     rp = prev[1:-1, 1:-1, 1:-1]
+    call1 = make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
+                                    interpret)
+    fpre = call1(field, field, field, rp, rp, rp)
     kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
 
     if acc > 1:
@@ -261,26 +419,7 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
 
         fpre, _ = jax.lax.scan(sweep, fpre, None, length=acc - 1)
 
-    # rebuild the padded array from the final pre-keep field: interior is
-    # fpre * keep, faces are the signed mirrors setBounds would write, and
-    # ghost edges/corners pass through untouched (set_bounds never writes
-    # them)
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
-    out = field
-    out = out.at[1:-1, 1:-1, 1:-1].set(fpre if empty_scene else fpre * kp)
-    out = out.at[1:-1, 1:-1, 0].set(sx * fpre[:, :, 0])
-    out = out.at[1:-1, 1:-1, -1].set(fpre[:, :, -1])     # x+ outflow copy
-    out = out.at[1:-1, 0, 1:-1].set(sy * fpre[:, 0, :])
-    out = out.at[1:-1, -1, 1:-1].set(sy * fpre[:, -1, :])
-    out = out.at[0, 1:-1, 1:-1].set(sz * fpre[0])
-    out = out.at[-1, 1:-1, 1:-1].set(sz * fpre[-1])
-    return out
+    return _rebuild_padded(field, fpre, kp, b, wall_mode, empty_scene)
 
 
 # ---------------------------------------------------------------------------
@@ -308,13 +447,7 @@ def _make_sweep_kernel_t(b: int, a: float, c: float, wall_mode: str,
     D, H, W = interior
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
+    sx, sy, sz = _solve_signs(b, wall_mode)
     m = 2 * ksw
     E = blk + 2 * m
 
@@ -506,8 +639,6 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
                                blk: int | None = None, ksw: int = 4):
     """Temporally-blocked drop-in for pallas_rbgs_solve_stream: ksw sweeps
     per streaming pass (plus a remainder pass)."""
-    from fluid_simulation_tpu.kernels.linsolve_blocked import (
-        pallas_rbgs_solve_blocked)
     shape = field.shape
     dtype = field.dtype
     apply_keep = not empty_scene
@@ -521,11 +652,10 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
     if blk % m:
         raise ValueError(f"blk {blk} must be a multiple of m={m}")
 
-    pre1 = pallas_rbgs_solve_blocked(b, field, prev, None, a, c, acc=1,
-                                     wall_mode=wall_mode, interpret=interpret,
-                                     empty_scene=True)
-    fpre = pre1[1:-1, 1:-1, 1:-1]
     rp = prev[1:-1, 1:-1, 1:-1]
+    call1 = make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
+                                    interpret)
+    fpre = call1(field, field, field, rp, rp, rp)
     kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
 
     nsw_left = acc - 1
@@ -557,19 +687,4 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
                 return call1(*ops), None
             fpre, _ = jax.lax.scan(sweep1, fpre, None, length=rem)
 
-    if wall_mode == "noslip" and b in (1, 2, 3):
-        sx = -1.0 if b == 1 else 1.0
-        sy, sz = -1.0, -1.0
-    else:
-        sx = -1.0 if b == 1 else 1.0
-        sy = -1.0 if b == 2 else 1.0
-        sz = -1.0 if b == 3 else 1.0
-    out = field
-    out = out.at[1:-1, 1:-1, 1:-1].set(fpre if empty_scene else fpre * kp)
-    out = out.at[1:-1, 1:-1, 0].set(sx * fpre[:, :, 0])
-    out = out.at[1:-1, 1:-1, -1].set(fpre[:, :, -1])
-    out = out.at[1:-1, 0, 1:-1].set(sy * fpre[:, 0, :])
-    out = out.at[1:-1, -1, 1:-1].set(sy * fpre[:, -1, :])
-    out = out.at[0, 1:-1, 1:-1].set(sz * fpre[0])
-    out = out.at[-1, 1:-1, 1:-1].set(sz * fpre[-1])
-    return out
+    return _rebuild_padded(field, fpre, kp, b, wall_mode, empty_scene)
