@@ -106,6 +106,94 @@ def _make_lerp_kernel_nwindow(C: int):
 LANE_LERP_MAX_C = 1664  # 13 windows
 
 
+def _make_lerp_kernel_stack(Bn: int, C: int):
+    """Stacked variant: ``Bn`` source fields share ONE index plane. The
+    index math (floor/clip/frac) runs once; each field is gathered with the
+    same per-lane indices. Values are bitwise-identical per field to the
+    2-D kernels above (same expression tree). Block layout — full-``Bn``
+    3-D blocks with an in-kernel ``range(Bn)`` loop — is the `_lane_pass`
+    layout, the one stacked form proven stable inside kernel-dense scans
+    (leading *grid* dims with squeezed blocks fault Mosaic; NOTES.md)."""
+    offs = _window_offsets(C) if C > 128 else None
+
+    def kernel(arr_ref, xb_ref, out_ref):
+        xb = xb_ref[...]
+        i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
+        gd = _gather_dtype(arr_ref.dtype)
+        s = (xb - i0.astype(xb.dtype)).astype(gd)
+        for b in range(Bn):
+            if offs is None:
+                arr = arr_ref[b].astype(gd)
+                a = jnp.take_along_axis(arr, i0, axis=1)
+                bb = jnp.take_along_axis(arr, i0 + 1, axis=1)
+            else:
+                a = jnp.zeros(xb.shape, gd)
+                bb = jnp.zeros(xb.shape, gd)
+                for j, off in enumerate(offs):
+                    w = arr_ref[b][:, off:off + 128].astype(gd)
+                    use = i0 <= off + 126 if j == 0 else (
+                        (i0 >= off) & (i0 <= off + 126) if j < len(offs) - 1
+                        else i0 >= off)
+                    li = jnp.clip(i0 - off, 0, 126)
+                    a = jnp.where(use, jnp.take_along_axis(w, li, axis=1), a)
+                    bb = jnp.where(
+                        use, jnp.take_along_axis(w, li + 1, axis=1), bb)
+            out_ref[b] = (a * (1.0 - s) + bb * s).astype(out_ref.dtype)
+
+    return kernel
+
+
+def lane_lerp_stack(arr3d: jnp.ndarray, xb2d: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """``lane_lerp`` over a (Bn, R, C) stack sharing one (R, Co) index plane.
+
+    Replaces the ``tile()`` broadcast of the index plane across the stack —
+    a physical Bn-fold materialisation that at 256^3 wrote + re-read
+    ~0.6 GB per velocity-advect pass (profile_phases: lane_lerp pass
+    3.9 ms of a 17.4 ms advect). Outputs are bitwise-equal per field to
+    ``lane_lerp(arr3d[b], tile(xb2d))``."""
+    Bn, R, C = arr3d.shape
+    Ro, Co = xb2d.shape
+    if R != Ro:
+        raise ValueError(f"row mismatch {arr3d.shape} vs {xb2d.shape}")
+    if C > LANE_LERP_MAX_C:
+        raise ValueError(f"gather axis too wide for the lane kernel: {C}")
+    if C <= 128 and Co != C:
+        raise ValueError("single-window path needs idx width == C")
+    C_BLK = min(Co, 128)
+    n_chunks = pl.cdiv(Co, C_BLK)
+    # VMEM row budget: double-buffered arr (Bn, RB, C) + xb (RB, CB) +
+    # out (Bn, RB, CB), lane dims tile-rounded (same accounting as
+    # _lane_pass, which runs this block shape on-chip)
+    it = 2 if arr3d.dtype == jnp.bfloat16 else 4
+    ct = -(-C // 128) * 128
+    cbt = -(-C_BLK // 128) * 128
+    per_row = 2 * (Bn * ct * it + cbt * 4 + Bn * cbt * it)
+    R_BLK = max(64, (48 * 1024 * 1024) // per_row) // 8 * 8
+    R_BLK = min(R, R_BLK)
+    kernel = _make_lerp_kernel_stack(Bn, C)
+    grid = (pl.cdiv(R, R_BLK), n_chunks)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Bn, R, Co), arr3d.dtype),
+        in_specs=[
+            pl.BlockSpec((Bn, R_BLK, C), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_BLK, C_BLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bn, R_BLK, C_BLK), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(arr3d, xb2d)
+
+
 def lane_lerp(arr2d: jnp.ndarray, xb2d: jnp.ndarray,
               interpret: bool = False) -> jnp.ndarray:
     """1-D linear-interpolation gather along the last axis.
@@ -353,10 +441,14 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     dt = np.float32(dt_)
 
-    def tile(idx2d):
-        """Share one index plane across the B stacked fields."""
-        return jnp.broadcast_to(idx2d, (Bn,) + idx2d.shape).reshape(
-            Bn * idx2d.shape[0], idx2d.shape[1])
+    def lerp(arr3d_rows, idx2d):
+        """One pass over the (Bn, rows, C) stack with ONE shared index
+        plane: the stacked kernel for real stacks, the 2-D kernel for a
+        single field (the density advect keeps its proven program shape)."""
+        if Bn == 1:
+            return lane_lerp(arr3d_rows[0], idx2d,
+                             interpret=interpret)[None]
+        return lane_lerp_stack(arr3d_rows, idx2d, interpret=interpret)
 
     # coordinate math always in f32: identical for f32 fields, and for bf16
     # fields it keeps backtrace positions at full precision (bf16 coords are
@@ -374,12 +466,11 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
         # single-window kernel wants idx width == W2: edge-pad, slice after
         xb_full = jnp.concatenate(
             [xb[:, :, :1], xb, xb[:, :, -1:]], axis=2)
-        a = lane_lerp(prev.reshape(Bn * D2 * H2, W2),
-                      tile(xb_full.reshape(D2 * H2, W2)),
-                      interpret=interpret)[:, 1:-1]
+        a = lerp(prev.reshape(Bn, D2 * H2, W2),
+                 xb_full.reshape(D2 * H2, W2))[:, :, 1:-1]
     else:
-        a = lane_lerp(prev.reshape(Bn * D2 * H2, W2),
-                      tile(xb.reshape(D2 * H2, W)), interpret=interpret)
+        a = lerp(prev.reshape(Bn, D2 * H2, W2),
+                 xb.reshape(D2 * H2, W))
     A = a.reshape(Bn, D2, H2, W)
 
     # ---- y pass: transpose y to lanes; rows = (z incl. ghosts, x interior)
@@ -393,8 +484,8 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     # lanes are edge-duplicated indices and sliced away below
     ybt_full = jnp.concatenate(
         [ybt[:, :, :1], ybt, ybt[:, :, -1:]], axis=2)        # (D2, W, H2)
-    b = lane_lerp(At.reshape(Bn * D2 * W, H2),
-                  tile(ybt_full.reshape(D2 * W, H2)), interpret=interpret)
+    b = lerp(At.reshape(Bn, D2 * W, H2),
+             ybt_full.reshape(D2 * W, H2))
     B = jnp.swapaxes(b.reshape(Bn, D2, W, H2), 2, 3)[:, :, 1:-1, :]
 
     # ---- z pass: transpose z to lanes; rows = (y, x)
@@ -406,8 +497,8 @@ def advect_split(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     zbt = jnp.transpose(zb, (1, 2, 0))               # (H, W, D)
     zbt_full = jnp.concatenate(
         [zbt[:, :, :1], zbt, zbt[:, :, -1:]], axis=2)        # (H, W, D2)
-    c = lane_lerp(Bt.reshape(Bn * H * W, D2),
-                  tile(zbt_full.reshape(H * W, D2)), interpret=interpret)
+    c = lerp(Bt.reshape(Bn, H * W, D2),
+             zbt_full.reshape(H * W, D2))
     out = jnp.transpose(c.reshape(Bn, H, W, D2), (0, 3, 1, 2))[:, 1:-1]
     return out[0] if squeeze else out
 

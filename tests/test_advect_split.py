@@ -157,3 +157,28 @@ def test_advect_split_auto_routes_to_lane_path(monkeypatch):
     prev, vx, vy, vz = _fields(W=10, H=8, D=6, seed=1)
     ap.advect_split_auto(prev, vx, vy, vz, 0.05)
     assert calls == ["lane"]
+
+
+def test_lane_lerp_stack_matches_per_field():
+    """The stacked shared-index kernel vs per-field lane_lerp on both
+    window paths. Same expression tree; XLA's FMA-contraction choice for
+    the final lerp can differ by 1 ulp between the two program contexts
+    (on-chip the 20-step state SHA matched exactly — tools/exp_bigsha.py),
+    so compare to 1-ulp relative tolerance. The gather INDICES are integer
+    and must agree exactly — checked via a frac=0 lane probe."""
+    from fluid_simulation_tpu.kernels.advect_pallas import lane_lerp_stack
+    rng = np.random.default_rng(7)
+    for C, Co in ((66, 66), (130, 128), (258, 256)):
+        arr = rng.normal(size=(3, 40, C)).astype(np.float32)
+        xb = rng.uniform(0.5, C - 1.5, size=(40, Co)).astype(np.float32)
+        # integer xb -> s == 0 -> the lerp is a pure gather: must be exact
+        xb[::3] = np.floor(xb[::3])
+        got = np.asarray(lane_lerp_stack(jnp.asarray(arr), jnp.asarray(xb),
+                                         interpret=True))
+        for b in range(3):
+            want = np.asarray(lane_lerp(jnp.asarray(arr[b]),
+                                        jnp.asarray(xb), interpret=True))
+            np.testing.assert_array_equal(got[b, ::3], want[::3],
+                                          err_msg=f"C={C} b={b} (gather)")
+            np.testing.assert_allclose(got[b], want, rtol=1.2e-7, atol=1e-7,
+                                       err_msg=f"C={C} b={b}")
