@@ -121,23 +121,31 @@ def _make_lerp_kernel_stack(Bn: int, C: int):
         i0 = jnp.clip(jnp.floor(xb).astype(jnp.int32), 0, C - 2)
         gd = _gather_dtype(arr_ref.dtype)
         s = (xb - i0.astype(xb.dtype)).astype(gd)
+        if offs is not None:
+            # per-window local indices + boundary masks are shared by all
+            # Bn fields: gather every window, then one nested boundary
+            # select — cheaper on the VPU than per-window use-masks +
+            # where chains (this pass is select-bound, not gather- or
+            # DMA-bound at 256-class widths), and value-identical: the
+            # first window containing i0 wins and overlapping windows
+            # hold the same source lanes
+            lis = [jnp.clip(i0 - off, 0, 126) for off in offs]
+            inws = [i0 <= off + 126 for off in offs[:-1]]
         for b in range(Bn):
             if offs is None:
                 arr = arr_ref[b].astype(gd)
                 a = jnp.take_along_axis(arr, i0, axis=1)
                 bb = jnp.take_along_axis(arr, i0 + 1, axis=1)
             else:
-                a = jnp.zeros(xb.shape, gd)
-                bb = jnp.zeros(xb.shape, gd)
-                for j, off in enumerate(offs):
+                ga, gb = [], []
+                for off, li in zip(offs, lis):
                     w = arr_ref[b][:, off:off + 128].astype(gd)
-                    use = i0 <= off + 126 if j == 0 else (
-                        (i0 >= off) & (i0 <= off + 126) if j < len(offs) - 1
-                        else i0 >= off)
-                    li = jnp.clip(i0 - off, 0, 126)
-                    a = jnp.where(use, jnp.take_along_axis(w, li, axis=1), a)
-                    bb = jnp.where(
-                        use, jnp.take_along_axis(w, li + 1, axis=1), bb)
+                    ga.append(jnp.take_along_axis(w, li, axis=1))
+                    gb.append(jnp.take_along_axis(w, li + 1, axis=1))
+                a, bb = ga[-1], gb[-1]
+                for j in range(len(offs) - 2, -1, -1):
+                    a = jnp.where(inws[j], ga[j], a)
+                    bb = jnp.where(inws[j], gb[j], bb)
             out_ref[b] = (a * (1.0 - s) + bb * s).astype(out_ref.dtype)
 
     return kernel

@@ -110,6 +110,14 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
         return pallas_pad_bounds(smp, bs, p.wall_mode,
                                  fluid_i=masks.fluid_i,
                                  keep_i=keep[1:-1, 1:-1, 1:-1])
+    # NOT routed: kernels/bounds_pallas.pallas_pad_bounds_stream (a
+    # z-streamed pad+setBounds for >VMEM grids, bitwise == the concat
+    # fallback below) measured NEUTRAL in the full step on chip (256^3
+    # 65.0 -> 65.1 ms, 256x128x128 13.7 -> 13.9): the isolated 2.15 ms
+    # phase cost of the concat tail does not transfer — XLA already
+    # pipelines it with neighboring kernels. Kept tested as an opt-in
+    # experiment; zero gain does not buy Mosaic-combination risk (same
+    # policy as _prestep_applicable/_diffuse3_applicable).
     # fallback (grids beyond the kernel's VMEM gate): build each padded
     # field as nested concats — one fused pass per field — instead of the
     # zeros.at[].set + set_bounds chain (XLA materialises a full-array copy

@@ -516,3 +516,36 @@ def test_temporal_packed_stream_matches_oracle_interpret():
         np.testing.assert_array_equal(
             got[1:-1, 1:-1, 1:-1], want[1:-1, 1:-1, 1:-1],
             err_msg=f"{shape} b={b} empty={empty} blk={blk} ksw={ksw}")
+
+
+@pytest.mark.parametrize("bs,wall_mode,masked,blk", [
+    ((1, 2, 3), "reference", False, 8),
+    ((1, 2, 3), "reference", True, 8),
+    ((1, 2, 3), "noslip", True, 8),
+    ((0,), "reference", True, 8),
+    ((0,), "reference", False, 8),
+])
+def test_pad_bounds_stream_matches_resident(bs, wall_mode, masked, blk):
+    """z-streamed pad+setBounds == the resident kernel (itself tested
+    against the composable path above), for D=blk (2 blocks) and D=3*blk
+    (4 blocks, exercising interior + both z-plane specials)."""
+    from fluid_simulation_tpu.kernels.bounds_pallas import (
+        pallas_pad_bounds, pallas_pad_bounds_stream)
+    rng = np.random.default_rng(13)
+    for Dt in (blk, 3 * blk):
+        obs = add_sphere(empty_obstacles(W, H, Dt), W // 3, H // 2,
+                         Dt // 2, 2.5)
+        masks = build_masks(jnp.asarray(obs))
+        smp = jnp.asarray(
+            rng.normal(size=(len(bs), Dt, H, W)).astype(np.float32))
+        kw = {}
+        if masked:
+            keep = masks.keep_vel if bs[0] in (1, 2, 3) else masks.keep_scalar
+            kw = dict(fluid_i=masks.fluid_i, keep_i=keep[1:-1, 1:-1, 1:-1])
+        want = pallas_pad_bounds(smp, bs, wall_mode, interpret=True, **kw)
+        got = pallas_pad_bounds_stream(smp, bs, wall_mode, interpret=True,
+                                       blk=blk, **kw)
+        for i in range(len(bs)):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(want[i]),
+                err_msg=f"b={bs[i]} D={Dt}")
