@@ -270,16 +270,30 @@ def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
 
+    it = _itemsize(dtype)
+    rbp = _tiled_bytes((1,) + shape[1:], it)   # padded row
+    rbi = _tiled_bytes((1, H, W), it)          # packed row
+
     def _ok(cand):
         h = min(8, cand)
-        return h >= 3 and cand % h == 0 and cand <= D
+        if not (h >= 3 and cand % h == 0 and cand <= D):
+            return False
+        # scoped-VMEM model, fitted to the chip: scratch (blk+4 padded
+        # rows) + double-buffered field/rhs windows + out + ~4 live
+        # halfsweep temporaries. blk=8 at 512-wide rows hits 103M on the
+        # compiler's meter (96M limit); this model says 101M and rejects
+        # it; the working 256^3 blk=16 scores 88M.
+        need = ((cand + 4) * rbp + 2 * (cand + 2 * h) * (rbp + rbi)
+                + 2 * cand * rbi + 4 * (cand + 2) * rbp)
+        return need <= VMEM_BUDGET_BYTES
+
     if not _ok(blk):
         for cand in (16, 8, 4, 3):
             if _ok(cand):
                 blk = cand
                 break
         else:
-            raise ValueError(f"no sweep-1 block fits D={D}")
+            raise ValueError(f"no sweep-1 block fits D={D} rows {H}x{W}")
     interior = (D, H, W)
     nblk = -(-D // blk)
     hb = min(8, blk)

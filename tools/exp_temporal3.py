@@ -34,7 +34,11 @@ def main():
               f"({best / acc * 1e6:7.1f} us/sweep)", flush=True)
         return best
 
-    for ksw, blk in ((2, 16),):
+    # config from argv: exp_temporal3.py W H D ksw blk (one per process)
+    cfgs = ((2, 16),)
+    if len(sys.argv) > 5:
+        cfgs = ((int(sys.argv[4]), int(sys.argv[5])),)
+    for ksw, blk in cfgs:
         def tmp(c, ksw=ksw, blk=blk):
             return pallas_rbgs_solve_stream_t(1, c, c, None, 1e-4, 1.0006,
                                               acc=acc, empty_scene=True,
