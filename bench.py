@@ -19,6 +19,8 @@ NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
 - ``grid_256x128x128`` / ``grid_256x256x256`` / ``grid_512x256x256``: big
   grids (config 5's single-chip proxy; the 2-chip run is exercised by
   tests + dryrun).
+- ``obstacle_256x128x128``: big grid + voxel sphere — exercises the masked
+  z-streamed projection + keep-masked streaming solves.
 - ``flagship_bf16``: bfloat16 state.
 
 Each config reports ms/step and cell-updates/s; failures are recorded as
@@ -149,6 +151,12 @@ def main():
     record("grid_256x128x128",
            SimParams(width=256, height=128, depth=128, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=10)
+    big_sphere = add_sphere(empty_obstacles(256, 128, 128), cx=85, cy=64,
+                            cz=64, radius=20)
+    record("obstacle_256x128x128",
+           SimParams(width=256, height=128, depth=128, div_stats=False,
+                     step_stats=False, mode="split"),
+           obstacles=np.asarray(big_sphere), reps=2, n=10)
     record("grid_256x256x256",
            SimParams(width=256, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=4)

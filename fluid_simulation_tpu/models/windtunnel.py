@@ -232,6 +232,17 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
                 vx, vy, vz, masks.fluid_i,
                 masks.keep_vel[1:-1, 1:-1, 1:-1],
                 acc=p.acc, wall_mode=p.wall_mode)
+        from fluid_simulation_tpu.kernels.project_stream import (
+            pallas_project_stream_masked, pallas_project_stream_masked_supported)
+        if pallas_project_stream_masked_supported(vx.shape, vx.dtype):
+            # >VMEM obstacle grids: masked z-streamed div -> keep-masked
+            # packed Poisson sweeps -> masked grad (values equal the
+            # composable path's pre-set_bounds state; the masked tail is
+            # the same set_bounds)
+            smp = pallas_project_stream_masked(vx, vy, vz, masks.fluid_i,
+                                               acc=p.acc,
+                                               wall_mode=p.wall_mode)
+            return _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     out = project(vx, vy, vz, masks, acc=p.acc, solver=p.solver,
                   wall_mode=p.wall_mode, use_pallas=p.use_pallas,
                   empty_scene=p.empty_scene)

@@ -329,6 +329,46 @@ def test_project_stream_matches_composable(wall_mode, blk):
                                    err_msg=f"component {i} blk={blk}")
 
 
+@pytest.mark.parametrize("wall_mode,blk", [
+    ("reference", 8), ("noslip", 8), ("reference", 4)])
+def test_project_stream_masked_matches_composable(wall_mode, blk):
+    """Masked z-streamed projection (obstacle div -> keep-masked packed
+    sweeps -> masked grad + masked pad-bounds tail) == the composable
+    obstacle-scene project (kernels/project_stream.py)."""
+    from fluid_simulation_tpu.kernels.project_stream import (
+        pallas_project_stream_masked)
+    from fluid_simulation_tpu.models.windtunnel import _pad_bounds_tail
+    from fluid_simulation_tpu.config import SimParams
+    from fluid_simulation_tpu.ops.project import project
+
+    obs = add_sphere(empty_obstacles(W, H, D), W // 3, H // 2, D // 2, 2.5)
+    masks = build_masks(jnp.asarray(obs))
+    rng = np.random.default_rng(29)
+    shp = (D + 2, H + 2, W + 2)
+
+    def mkfield():
+        a = rng.normal(size=shp).astype(np.float32)
+        m = np.zeros(shp, np.float32)
+        m[1:-1, 1:-1, :] = 1.0
+        m[1:-1, :, 1:-1] = 1.0
+        m[:, 1:-1, 1:-1] = 1.0
+        return jnp.asarray(a * m)
+
+    vx, vy, vz = mkfield(), mkfield(), mkfield()
+    ref = project(vx, vy, vz, masks, acc=5, solver="rbgs",
+                  wall_mode=wall_mode, use_pallas=False, empty_scene=False)
+    smp = pallas_project_stream_masked(vx, vy, vz, masks.fluid_i, acc=5,
+                                       wall_mode=wall_mode,
+                                       interpret=True, blk=blk)
+    p = SimParams(width=W, height=H, depth=D, empty_scene=False,
+                  wall_mode=wall_mode)
+    got = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[i]),
+                                   rtol=0, atol=1e-6,
+                                   err_msg=f"component {i} blk={blk}")
+
+
 def test_stream_solve_bfloat16():
     """bf16 accepted by the packed streaming solve (interpret): finite and
     close to the f32 oracle at bf16 resolution."""
