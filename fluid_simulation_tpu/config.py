@@ -111,6 +111,15 @@ class SimParams:
     # scene that has solids.
     empty_scene: bool = False
 
+    # Set by design_sweep's vmap route: the step is being vmapped over a
+    # geometry batch. Whole-array-VMEM kernels (the fused projections) are
+    # vmapped by Pallas as whole-BATCH VMEM operands — at 8x flagship that
+    # blows the 96M scoped-VMEM budget at compile time — so batched steps
+    # dispatch those stages to the z-blocked streaming kernels instead
+    # (vmap adds a leading grid dim there; per-block VMEM is unchanged).
+    # Values are identical either way (both kernels are oracle-bitwise).
+    batched: bool = False
+
     @property
     def interior_shape(self) -> Tuple[int, int, int]:
         """(D, H, W) — z-major so x is the fastest/lane axis."""

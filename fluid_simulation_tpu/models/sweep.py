@@ -69,6 +69,13 @@ def design_sweep(batched_masks, params: SimParams, steps: int,
     if route not in ("vmap", "sequential"):
         raise ValueError(f"unknown sweep route: {route!r}")
     B = jax.tree_util.tree_leaves(batched_masks)[0].shape[0]
+    # Both routes dispatch the step with batched=True: under vmap the
+    # whole-array-VMEM kernels become whole-BATCH operands and blow scoped
+    # VMEM at compile (96M limit, measured 99.25M at 8x flagship); under
+    # the nested lax.map(scan(step)) program the same kernel mix trips a
+    # runtime Mosaic fault (the combination-fault family, NOTES.md). The
+    # z-blocked streaming kernels the flag selects survive both.
+    params = params.replace(batched=True)
 
     if route == "sequential":
         def one_geometry(masks):

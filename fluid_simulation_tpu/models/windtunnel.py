@@ -102,7 +102,7 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
         pallas_pad_bounds, pallas_pad_bounds_supported)
     if smp.ndim == 3:
         smp = smp[None]
-    if p.use_pallas and pallas_pad_bounds_supported(
+    if p.use_pallas and not p.batched and pallas_pad_bounds_supported(
             p.padded_shape, len(bs), smp.dtype):
         if p.empty_scene:
             return pallas_pad_bounds(smp, bs, p.wall_mode)
@@ -212,7 +212,7 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
     if p.empty_scene and p.use_pallas and p.solver == "rbgs":
         from fluid_simulation_tpu.kernels.project_pallas import (
             pallas_project_empty, pallas_project_supported)
-        if pallas_project_supported(vx.shape, vx.dtype):
+        if not p.batched and pallas_project_supported(vx.shape, vx.dtype):
             return pallas_project_empty(vx, vy, vz, acc=p.acc,
                                         wall_mode=p.wall_mode)
         from fluid_simulation_tpu.kernels.project_stream import (
@@ -227,7 +227,8 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
         # bit-identical to the composable path below
         from fluid_simulation_tpu.kernels.project_pallas import (
             pallas_project_masked, pallas_project_masked_supported)
-        if pallas_project_masked_supported(vx.shape, vx.dtype):
+        if not p.batched and pallas_project_masked_supported(vx.shape,
+                                                             vx.dtype):
             return pallas_project_masked(
                 vx, vy, vz, masks.fluid_i,
                 masks.keep_vel[1:-1, 1:-1, 1:-1],
@@ -318,7 +319,16 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         raise ValueError(f"unknown mode {p.mode!r}")
 
     if p.vorticity:
-        vx, vy, vz = apply_confinement(vx, vy, vz, masks, p.vorticity, p.dt)
+        from fluid_simulation_tpu.kernels.vorticity_pallas import (
+            pallas_confinement, pallas_confinement_supported)
+        if (p.use_pallas and not p.batched
+                and pallas_confinement_supported(vx.shape, vx.dtype)):
+            vx, vy, vz = pallas_confinement(
+                vx, vy, vz, masks.keep_vel[1:-1, 1:-1, 1:-1],
+                float(p.vorticity), float(p.dt))
+        else:
+            vx, vy, vz = apply_confinement(vx, vy, vz, masks, p.vorticity,
+                                           p.dt)
 
     vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 

@@ -369,6 +369,33 @@ def test_project_stream_masked_matches_composable(wall_mode, blk):
                                    err_msg=f"component {i} blk={blk}")
 
 
+@pytest.mark.parametrize("scene", ["sphere", "empty"])
+def test_confinement_kernel_matches_oracle(scene):
+    """Fused vorticity-confinement kernel == ops.vorticity.apply_confinement
+    (kernels/vorticity_pallas.py)."""
+    from fluid_simulation_tpu.kernels.vorticity_pallas import (
+        pallas_confinement)
+    from fluid_simulation_tpu.ops.vorticity import apply_confinement
+
+    if scene == "sphere":
+        obs = add_sphere(empty_obstacles(W, H, D), W // 3, H // 2, D // 2,
+                         2.5)
+    else:
+        obs = empty_obstacles(W, H, D)
+    masks = build_masks(jnp.asarray(obs))
+    rng = np.random.default_rng(7)
+    shp = (D + 2, H + 2, W + 2)
+    vx, vy, vz = (jnp.asarray(rng.normal(size=shp).astype(np.float32))
+                  for _ in range(3))
+    ref = apply_confinement(vx, vy, vz, masks, 5.0, 0.05)
+    got = pallas_confinement(vx, vy, vz, masks.keep_vel[1:-1, 1:-1, 1:-1],
+                             5.0, 0.05, interpret=True)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref[i]),
+                                   rtol=0, atol=1e-6,
+                                   err_msg=f"component {i}")
+
+
 def test_stream_solve_bfloat16():
     """bf16 accepted by the packed streaming solve (interpret): finite and
     close to the f32 oracle at bf16 resolution."""
