@@ -6,7 +6,8 @@ the z-blocked streaming solver (kernels/linsolve_blocked.py) and the n-window
 lane gather (kernels/advect_pallas.py); this measures the result. Slope
 timing over two scan lengths cancels the per-dispatch tunnel overhead.
 
-Usage: python tools/bench_big.py [W H D [n]]    (default 256 256 256)
+Usage: python tools/bench_big.py [W H D [n [dtype]]]  (default 256 256 256,
+dtype float32|bfloat16)
 """
 
 import sys
@@ -22,13 +23,18 @@ def main():
     from fluid_simulation_tpu.config import SimParams
     from fluid_simulation_tpu.models.windtunnel import WindTunnel, simulation_step
 
-    args = [int(a) for a in sys.argv[1:]]
+    argv = sys.argv[1:]
+    dtype = "float32"
+    if argv and argv[-1] in ("float32", "bfloat16", "bf16"):
+        dtype = {"bf16": "bfloat16"}.get(argv[-1], argv[-1])
+        argv = argv[:-1]
+    args = [int(a) for a in argv]
     W, H, D = args[:3] if len(args) >= 3 else (256, 256, 256)
     n = args[3] if len(args) > 3 else 5
 
     np.asarray(jax.jit(lambda: jax.numpy.zeros((8, 128)))())
     params = SimParams(width=W, height=H, depth=D, div_stats=False,
-                       mode="split", empty_scene=True)
+                       mode="split", empty_scene=True, dtype=dtype)
     wt = WindTunnel(params)
     masks = wt.masks
 
@@ -62,7 +68,7 @@ def main():
     dens = float(np.asarray(jax.jit(
         lambda st: jax.numpy.sum(st.dens, dtype=jax.numpy.float32))(s)))
     assert np.isfinite(dens) and dens > 0, dens
-    print(f"{W}x{H}x{D} split: {best * 1e3:.1f} ms/step, "
+    print(f"{W}x{H}x{D} split {dtype}: {best * 1e3:.1f} ms/step, "
           f"{cu:.3g} cell-updates/s ({cu / BASELINE_CU:.1f}x baseline), "
           f"density_sum={dens:.1f}")
     return 0
