@@ -423,6 +423,238 @@ def advect_split_fused(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+# ---------------------------------------------------------------------------
+# Transposing y/z passes: gather along a non-lane axis by transposing VMEM
+# blocks *inside* the kernel instead of materialising XLA transposes of the
+# whole field between passes. On the v5e, 2-D value transposes, strided
+# middle-row ref loads (a_ref[b, :, s, :]) and stores are exact and cost
+# below slope-timing noise at (258, 8, 128)-class blocks
+# (tools/exp_transpose.py probe/probe3). This removes, per y/z pass:
+#   - the materialised swapaxes/transpose of the (Bn, D2, *, *) stack
+#     (HBM round trip), and
+#   - the 1.5-2x lane-tile tax of gathering along a padded (N+2)-wide axis
+#     (258 lanes tile to 384): the natural-layout blocks keep the exact
+#     interior width on lanes and the padded axis on sublanes (258 -> 264,
+#     ~2% instead of 50%).
+# ---------------------------------------------------------------------------
+
+
+def _gather_lerp_T(at, it_f, G2: int, Go: int, gd):
+    """Lerp-gather along the lane axis of a transposed block.
+
+    ``at``: (NB, G2) source lanes (gather axis), ``it_f``: (NB, Go) f32
+    coordinates. Returns (NB, Go) in ``gd``. Same expression tree as
+    ``_make_lerp_kernel_stack`` (floor/clip/frac, nested-select window
+    combine, a*(1-s)+b*s), so values are bitwise-identical to the
+    ``lane_lerp`` path for the same coordinates."""
+    i0 = jnp.clip(jnp.floor(it_f).astype(jnp.int32), 0, G2 - 2)
+    s = (it_f - i0.astype(it_f.dtype)).astype(gd)
+    if G2 <= 128:
+        # single window: gather width must equal the source width; pad the
+        # index lanes with edge duplicates and slice after (the two pad
+        # lanes compute real in-bounds values that are simply discarded)
+        pad = G2 - Go
+        i0p = jnp.concatenate([i0] + [i0[:, -1:]] * pad, axis=1)
+        a = jnp.take_along_axis(at, i0p, axis=1)[:, :Go]
+        b = jnp.take_along_axis(at, i0p + 1, axis=1)[:, :Go]
+        return a * (1.0 - s[:, :Go]) + b * s[:, :Go]
+    offs = _window_offsets(G2)
+    outs = []
+    for c0 in range(0, Go, 128):
+        i0c = i0[:, c0:c0 + 128]
+        sc = s[:, c0:c0 + 128]
+        lis = [jnp.clip(i0c - off, 0, 126) for off in offs]
+        inws = [i0c <= off + 126 for off in offs[:-1]]
+        ga, gb = [], []
+        for off, li in zip(offs, lis):
+            w = at[:, off:off + 128]
+            ga.append(jnp.take_along_axis(w, li, axis=1))
+            gb.append(jnp.take_along_axis(w, li + 1, axis=1))
+        a, bb = ga[-1], gb[-1]
+        for j in range(len(offs) - 2, -1, -1):
+            a = jnp.where(inws[j], ga[j], a)
+            bb = jnp.where(inws[j], gb[j], bb)
+        outs.append(a * (1.0 - sc) + bb * sc)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _t_pass_supported(G2: int, N: int) -> bool:
+    """One transposing pass is usable when the gather axis either fits a
+    single 128-lane window or chunks the interior evenly (the in-kernel
+    output chunking has no partial-chunk path)."""
+    Go = G2 - 2
+    return G2 <= LANE_LERP_MAX_C and (G2 <= 128 or Go % 128 == 0)
+
+
+def _make_y_kernel_T(Bn: int, SB: int, G2: int):
+    Go = G2 - 2
+
+    def kernel(a_ref, i_ref, o_ref):
+        gd = _gather_dtype(a_ref.dtype)
+        for s in range(SB):
+            it = jnp.swapaxes(i_ref[s], 0, 1)               # (NB, Go) f32
+            for b in range(Bn):
+                at = jnp.swapaxes(a_ref[b, s], 0, 1).astype(gd)  # (NB, G2)
+                res = _gather_lerp_T(at, it, G2, Go, gd)
+                o_ref[b, s] = jnp.swapaxes(res, 0, 1).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_z_kernel_T(Bn: int, SB: int, G2: int):
+    Go = G2 - 2
+
+    def kernel(a_ref, i_ref, o_ref):
+        gd = _gather_dtype(a_ref.dtype)
+        for s in range(SB):
+            it = jnp.swapaxes(i_ref[:, s, :], 0, 1)         # (NB, Go) f32
+            for b in range(Bn):
+                at = jnp.swapaxes(
+                    a_ref[b, :, s, :], 0, 1).astype(gd)     # (NB, G2)
+                res = _gather_lerp_T(at, it, G2, Go, gd)
+                o_ref[b, :, s, :] = jnp.swapaxes(res, 0, 1).astype(
+                    o_ref.dtype)
+
+    return kernel
+
+
+def _t_vmem_kwargs(interpret):
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
+def _lerp_pass_yT(arr4: jnp.ndarray, yb3: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Gather-lerp along axis 2 of ``arr4`` (Bn, S2, G2, N) at natural-layout
+    coordinates ``yb3`` (S2, Go, N). Returns (Bn, S2, Go, N)."""
+    Bn, S2, G2, N = arr4.shape
+    Go = G2 - 2
+    if yb3.shape != (S2, Go, N):
+        raise ValueError(f"idx shape {yb3.shape} != {(S2, Go, N)}")
+    NB = min(N, 128)
+    it = 2 if arr4.dtype == jnp.bfloat16 else 4
+    g2t = -(-G2 // 8) * 8
+    nbt = -(-NB // 128) * 128
+    per_s = 2 * (Bn * g2t * nbt * it + Go * nbt * 4 + Bn * Go * nbt * it)
+    SB = max(1, (40 * 1024 * 1024) // per_s)
+    SB = min(S2, SB)
+    grid = (pl.cdiv(S2, SB), pl.cdiv(N, NB))
+    return pl.pallas_call(
+        _make_y_kernel_T(Bn, SB, G2),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Bn, S2, Go, N), arr4.dtype),
+        in_specs=[
+            pl.BlockSpec((Bn, SB, G2, NB), lambda i, j: (0, i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, Go, NB), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bn, SB, Go, NB), lambda i, j: (0, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_t_vmem_kwargs(interpret),
+    )(arr4, yb3)
+
+
+def _lerp_pass_zT(arr4: jnp.ndarray, zb3: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Gather-lerp along axis 1 of ``arr4`` (Bn, G2, S, N) at natural-layout
+    coordinates ``zb3`` (Go, S, N). Returns (Bn, Go, S, N)."""
+    Bn, G2, S, N = arr4.shape
+    Go = G2 - 2
+    if zb3.shape != (Go, S, N):
+        raise ValueError(f"idx shape {zb3.shape} != {(Go, S, N)}")
+    NB = min(N, 128)
+    it = 2 if arr4.dtype == jnp.bfloat16 else 4
+    nbt = -(-NB // 128) * 128
+    # SB is the sublane dim of every block here: keep it a multiple of 8
+    per_s = 2 * (Bn * G2 * nbt * it + Go * nbt * 4 + Bn * Go * nbt * it)
+    SB = max(8, (40 * 1024 * 1024) // per_s // 8 * 8)
+    SB = min(S, SB)
+    grid = (pl.cdiv(S, SB), pl.cdiv(N, NB))
+    return pl.pallas_call(
+        _make_z_kernel_T(Bn, SB, G2),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Bn, Go, S, N), arr4.dtype),
+        in_specs=[
+            pl.BlockSpec((Bn, G2, SB, NB), lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Go, SB, NB), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bn, Go, SB, NB), lambda i, j: (0, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **_t_vmem_kwargs(interpret),
+    )(arr4, zb3)
+
+
+def advect_split_t_supported(padded_shape) -> bool:
+    """Gate for the transposing-pass variant: the x pass needs the lane
+    kernel, the y/z passes need their gather axes to chunk evenly."""
+    D2, H2, W2 = padded_shape[-3:]
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (W2 <= LANE_LERP_MAX_C and _t_pass_supported(H2, W2 - 2)
+            and _t_pass_supported(D2, W2 - 2))
+
+
+@functools.partial(jax.jit, static_argnames=("dt_", "interpret"))
+def advect_split_t(prev: jnp.ndarray, vx: jnp.ndarray, vy: jnp.ndarray,
+                   vz: jnp.ndarray, dt_: float,
+                   interpret: bool = False) -> jnp.ndarray:
+    """``advect_split`` with natural-layout y/z passes (in-kernel block
+    transposes instead of materialised XLA transposes). Outputs are bitwise
+    identical to ``advect_split``: the coordinate arrays are computed by the
+    same XLA expressions (only in natural layout — a pure permutation) and
+    the kernels run the same gather/lerp expression tree."""
+    squeeze = prev.ndim == 3
+    if squeeze:
+        prev = prev[None]
+    Bn, D2, H2, W2 = prev.shape
+    D, H, W = D2 - 2, H2 - 2, W2 - 2
+    dt = np.float32(dt_)
+    ct = jnp.float32
+
+    def lerp(arr3d_rows, idx2d):
+        if Bn == 1:
+            return lane_lerp(arr3d_rows[0], idx2d,
+                             interpret=interpret)[None]
+        return lane_lerp_stack(arr3d_rows, idx2d, interpret=interpret)
+
+    # ---- x pass: identical to advect_split (lanes are already x)
+    xi = _coords(W, ct).reshape(1, 1, W)
+    xb = jnp.clip(xi - jnp.asarray(dt * np.float32(W), ct)
+                  * vx[:, :, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(W) + np.float32(0.5), ct))
+    if W2 <= 128:
+        xb_full = jnp.concatenate(
+            [xb[:, :, :1], xb, xb[:, :, -1:]], axis=2)
+        a = lerp(prev.reshape(Bn, D2 * H2, W2),
+                 xb_full.reshape(D2 * H2, W2))[:, :, 1:-1]
+    else:
+        a = lerp(prev.reshape(Bn, D2 * H2, W2),
+                 xb.reshape(D2 * H2, W))
+    A = a.reshape(Bn, D2, H2, W)
+
+    # ---- y pass: natural layout, gather along axis 2
+    yi = _coords(H, ct).reshape(1, H, 1)
+    yb = jnp.clip(yi - jnp.asarray(dt * np.float32(H), ct)
+                  * vy[:, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(H) + np.float32(0.5), ct))
+    B = _lerp_pass_yT(A, yb, interpret=interpret)      # (Bn, D2, H, W)
+
+    # ---- z pass: natural layout, gather along axis 1
+    zi = _coords(D, ct).reshape(D, 1, 1)
+    zb = jnp.clip(zi - jnp.asarray(dt * np.float32(D), ct)
+                  * vz[1:-1, 1:-1, 1:-1].astype(ct), jnp.asarray(0.5, ct),
+                  jnp.asarray(np.float32(D) + np.float32(0.5), ct))
+    out = _lerp_pass_zT(B, zb, interpret=interpret)    # (Bn, D, H, W)
+    return out[0] if squeeze else out
+
+
 def _coords(n: int, dtype):
     return jnp.arange(1, n + 1, dtype=dtype)
 
@@ -555,14 +787,20 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
 def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
     """Dispatch to the Mosaic lane kernels when supported, XLA otherwise.
 
-    The production kernel is ``advect_split`` (indices materialised by XLA
-    between passes), NOT the fused-backtrace variant: process-isolated
-    full-step A/B on the v5e (tools/exp_advect_ab2.py) measures the fused
-    form 1.210 vs 0.965 ms/step at 128x64x64, 16.6 vs 15.7 at 256x128x128
-    and 87.0 vs 69.9 at 256^3 — the in-kernel backtrace recompute plus its
+    The production path is ``advect_split_t`` (natural-layout y/z passes
+    with in-kernel block transposes): process-isolated full-step A/B on
+    the v5e (tools/exp_advect_t.py, identical 20-step state SHA per size)
+    measures tpass vs the materialised-transpose ``advect_split`` at
+    0.985 vs 1.043 ms/step (128x64x64), 13.38 vs 13.71 (256x128x128),
+    58.6 vs 65.0 (256^3) and 176.0 vs 190.4 (512x256x256) — removing the
+    XLA transpose round trips and the padded-axis lane-tile tax wins at
+    every measured size. NOT the fused-backtrace variant either:
+    tools/exp_advect_ab2.py measured fused 1.210 vs 0.965 at flagship and
+    87.0 vs 69.9 at 256^3 — the in-kernel backtrace recompute plus its
     per-window i32/f32 operand pressure costs more than the index-array
-    HBM traffic it removes at every measured size. ``advect_split_fused``
-    stays available as an opt-in experiment."""
+    HBM traffic it removes. ``advect_split_fused`` stays opt-in."""
+    if use_pallas and advect_split_t_supported(prev.shape):
+        return advect_split_t(prev, vx, vy, vz, float(dt_))
     if use_pallas and lane_lerp_supported(prev.shape):
         return advect_split(prev, vx, vy, vz, float(dt_))
     return advect_split_jnp(prev, vx, vy, vz, float(dt_))

@@ -138,15 +138,59 @@ def test_advect_split_fused_matches_lane_path_interpret():
                                    err_msg=f"dims={dims}")
 
 
-def test_advect_split_auto_routes_to_lane_path(monkeypatch):
-    """advect_split_auto must dispatch to advect_split (lane_lerp), NOT the
-    fused-backtrace variant: process-isolated A/B on the v5e measured fused
-    1.210 vs 0.965 ms/step at 128x64x64 and 87.0 vs 69.9 at 256^3
-    (NOTES.md "Falsified: fused-backtrace advect passes"). Guards against
-    the default silently flipping back."""
+def test_advect_split_t_matches_lane_path_interpret():
+    """Transposing y/z passes vs the materialised-transpose path: the
+    coordinate arrays are identical XLA expressions (natural layout is a
+    pure permutation) and the kernels share the gather/lerp expression
+    tree. Interpret-mode FP contraction differs by ~1 ulp between the two
+    program contexts (same as the stack-vs-per-field test; on the chip the
+    20-step state SHA A/B is the bitwise check) — single-window and
+    window+chunk (H2/D2 = 130) geometries, single field and 3-stack."""
+    from fluid_simulation_tpu.kernels.advect_pallas import advect_split_t
+    for dims, seed in (((24, 12, 10), 0), ((16, 128, 8), 6),
+                       ((16, 8, 128), 7)):
+        W, H, D = dims
+        prev, vx, vy, vz = _fields(W=W, H=H, D=D, seed=seed)
+        want1 = np.asarray(advect_split(prev, vx, vy, vz, 0.05,
+                                        interpret=True))
+        got1 = np.asarray(advect_split_t(prev, vx, vy, vz, 0.05,
+                                         interpret=True))
+        np.testing.assert_allclose(got1, want1, rtol=1.5e-7, atol=2e-7,
+                                   err_msg=f"dims={dims}")
+        stacked = jnp.stack([prev, prev * 0.5 + 0.1, prev * -0.25])
+        want3 = np.asarray(advect_split(stacked, vx, vy, vz, 0.05,
+                                        interpret=True))
+        got3 = np.asarray(advect_split_t(stacked, vx, vy, vz, 0.05,
+                                         interpret=True))
+        assert got3.shape == want3.shape == (3, D, H, W)
+        np.testing.assert_allclose(got3, want3, rtol=1.5e-7, atol=2e-7,
+                                   err_msg=f"dims={dims}")
+
+
+def test_advect_split_t_supported_gate():
+    """The gate accepts single-window and 128-multiple interiors and
+    rejects gather axes that would need a partial output chunk."""
+    from fluid_simulation_tpu.kernels import advect_pallas as ap
+    assert ap._t_pass_supported(66, 64)       # single window
+    assert ap._t_pass_supported(130, 128)     # 2 windows, 1 chunk
+    assert ap._t_pass_supported(258, 256)     # 3 windows, 2 chunks
+    assert not ap._t_pass_supported(194, 192)  # 192 % 128 != 0
+    assert not ap._t_pass_supported(2000, 64)  # past LANE_LERP_MAX_C
+
+
+def test_advect_split_auto_routes_to_t_then_lane_path(monkeypatch):
+    """advect_split_auto prefers advect_split_t (transposing y/z passes:
+    process-isolated A/B won at every size, identical state SHA —
+    tools/exp_advect_t.py), falls back to advect_split when the t gate
+    rejects the shape, and NEVER picks the fused-backtrace variant
+    (measured regression, NOTES.md "Falsified: fused-backtrace advect
+    passes"). Guards against the default silently flipping."""
     import fluid_simulation_tpu.kernels.advect_pallas as ap
 
     calls = []
+    monkeypatch.setattr(
+        ap, "advect_split_t",
+        lambda *a, **k: calls.append("tpass") or ap.advect_split_jnp(*a, **k))
     monkeypatch.setattr(
         ap, "advect_split",
         lambda *a, **k: calls.append("lane") or ap.advect_split_jnp(*a, **k))
@@ -155,6 +199,13 @@ def test_advect_split_auto_routes_to_lane_path(monkeypatch):
         lambda *a, **k: calls.append("fused") or ap.advect_split_jnp(*a, **k))
     monkeypatch.setattr(ap, "lane_lerp_supported", lambda shape: True)
     prev, vx, vy, vz = _fields(W=10, H=8, D=6, seed=1)
+
+    monkeypatch.setattr(ap, "advect_split_t_supported", lambda shape: True)
+    ap.advect_split_auto(prev, vx, vy, vz, 0.05)
+    assert calls == ["tpass"]
+
+    calls.clear()
+    monkeypatch.setattr(ap, "advect_split_t_supported", lambda shape: False)
     ap.advect_split_auto(prev, vx, vy, vz, 0.05)
     assert calls == ["lane"]
 
