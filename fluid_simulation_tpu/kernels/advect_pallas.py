@@ -173,7 +173,9 @@ def lane_lerp_stack(arr3d: jnp.ndarray, xb2d: jnp.ndarray,
     # VMEM row budget: double-buffered arr (Bn, RB, C) + xb (RB, CB) +
     # out (Bn, RB, CB), lane dims tile-rounded (same accounting as
     # _lane_pass, which runs this block shape on-chip)
-    it = 2 if arr3d.dtype == jnp.bfloat16 else 4
+    # bf16 blocks are promoted to f32 inside the kernel (gather dtype),
+    # so their scoped-VMEM cost is bf16 block + f32 copy = 6 B/elem
+    it = 6 if arr3d.dtype == jnp.bfloat16 else 4
     ct = -(-C // 128) * 128
     cbt = -(-C_BLK // 128) * 128
     per_row = 2 * (Bn * ct * it + cbt * 4 + Bn * cbt * it)
@@ -349,7 +351,9 @@ def _lane_pass(arr3d: jnp.ndarray, v2d: jnp.ndarray, dtN: float, N: int,
     n_chunks = pl.cdiv(C, C_BLK)
     # row block from a VMEM byte budget: double-buffered arr-in (Bn, RB, C)
     # + v (RB, CB) + out (Bn, RB, CB), lane dims tile-rounded
-    it = 2 if arr3d.dtype == jnp.bfloat16 else 4
+    # bf16 blocks are promoted to f32 inside the kernel (gather dtype),
+    # so their scoped-VMEM cost is bf16 block + f32 copy = 6 B/elem
+    it = 6 if arr3d.dtype == jnp.bfloat16 else 4
     ct = -(-C // 128) * 128
     cbt = -(-C_BLK // 128) * 128
     per_row = 2 * (Bn * ct + cbt + Bn * cbt) * it
@@ -534,7 +538,8 @@ def _lerp_pass_yT(arr4: jnp.ndarray, yb3: jnp.ndarray,
     if yb3.shape != (S2, Go, N):
         raise ValueError(f"idx shape {yb3.shape} != {(S2, Go, N)}")
     NB = min(N, 128)
-    it = 2 if arr4.dtype == jnp.bfloat16 else 4
+    # bf16 -> 6 B/elem: bf16 block + in-kernel f32 promoted copy
+    it = 6 if arr4.dtype == jnp.bfloat16 else 4
     g2t = -(-G2 // 8) * 8
     nbt = -(-NB // 128) * 128
     per_s = 2 * (Bn * g2t * nbt * it + Go * nbt * 4 + Bn * Go * nbt * it)
@@ -567,7 +572,8 @@ def _lerp_pass_zT(arr4: jnp.ndarray, zb3: jnp.ndarray,
     if zb3.shape != (Go, S, N):
         raise ValueError(f"idx shape {zb3.shape} != {(Go, S, N)}")
     NB = min(N, 128)
-    it = 2 if arr4.dtype == jnp.bfloat16 else 4
+    # bf16 -> 6 B/elem: bf16 block + in-kernel f32 promoted copy
+    it = 6 if arr4.dtype == jnp.bfloat16 else 4
     nbt = -(-NB // 128) * 128
     # SB is the sublane dim of every block here: keep it a multiple of 8
     per_s = 2 * (Bn * G2 * nbt * it + Go * nbt * 4 + Bn * Go * nbt * it)
