@@ -790,7 +790,7 @@ def advect_split_jnp(prev, vx, vy, vz, dt_):
     return out[0] if squeeze else out
 
 
-def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
+def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True, prefer_t=True):
     """Dispatch to the Mosaic lane kernels when supported, XLA otherwise.
 
     The production path is ``advect_split_t`` (natural-layout y/z passes
@@ -804,8 +804,18 @@ def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True):
     tools/exp_advect_ab2.py measured fused 1.210 vs 0.965 at flagship and
     87.0 vs 69.9 at 256^3 — the in-kernel backtrace recompute plus its
     per-window i32/f32 operand pressure costs more than the index-array
-    HBM traffic it removes. ``advect_split_fused`` stays opt-in."""
-    if use_pallas and advect_split_t_supported(prev.shape):
+    HBM traffic it removes. ``advect_split_fused`` stays opt-in.
+
+    ``prefer_t=False`` skips the t-pass and keeps the lane_lerp path: in
+    steps whose projections/solves run the MASKED z-streaming kernels
+    (obstacle scenes past VMEM residency), the t-pass LOSES end-to-end —
+    tools/exp_project_masked.py, one variant per process, 256x128x128
+    sphere: stock (t-pass) 17.0 ms/step vs lane_advect 15.6, while the
+    same swap wins on the empty-scene step at every size (table above).
+    Same kernel-combination family as the prestep/stacked-grid faults:
+    adding the transpose programs to the masked streaming mix costs more
+    than the pass saves, so the caller routes on scene."""
+    if use_pallas and prefer_t and advect_split_t_supported(prev.shape):
         return advect_split_t(prev, vx, vy, vz, float(dt_))
     if use_pallas and lane_lerp_supported(prev.shape):
         return advect_split(prev, vx, vy, vz, float(dt_))

@@ -205,6 +205,20 @@ def _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz, masks, p: SimParams,
             diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw))
 
 
+def _advect_prefer_t(p: SimParams, shape, dtype) -> bool:
+    """Route split advection off the transposing y/z passes exactly when
+    the step's projections take the MASKED z-streaming route (obstacle
+    scene past VMEM residency): there the t-pass LOSES end-to-end — 17.0
+    vs 15.6 ms/step at 256x128x128 sphere (tools/exp_project_masked.py,
+    one variant per process) — while it wins at every empty-scene size
+    and on VMEM-resident obstacle scenes (tools/exp_advect_t.py)."""
+    if p.empty_scene or not p.use_pallas or p.solver != "rbgs":
+        return True
+    from fluid_simulation_tpu.kernels.project_pallas import (
+        pallas_project_masked_supported)
+    return not p.batched and pallas_project_masked_supported(shape, dtype)
+
+
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):
     """Projection with the whole-stage fused kernel when applicable (empty
     scene, rbgs, TPU — kernels/project_pallas.py, bit-identical to the
@@ -310,10 +324,16 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         # lane-gather passes — the fastest TPU path; standard production
         # formulation, not bit-compatible with the trilinear backtrace. The
         # three components ride one stacked pipeline (shared gather indices).
+        # prefer_t routes on the projection path: in steps running the
+        # MASKED z-streaming projection (obstacle scenes past VMEM
+        # residency) the transposing y/z passes LOSE end-to-end (17.0 vs
+        # 15.6 ms/step at 256x128x128 sphere — see advect_split_auto's
+        # docstring); everywhere else they win.
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
+        prefer_t = _advect_prefer_t(p, vx.shape, vx.dtype)
         stacked = jnp.stack([pvx, pvy, pvz])
         smp = advect_split_auto(stacked, vx, vy, vz, p.dt,
-                                use_pallas=p.use_pallas)
+                                use_pallas=p.use_pallas, prefer_t=prefer_t)
         vx, vy, vz = _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     else:
         raise ValueError(f"unknown mode {p.mode!r}")
@@ -337,7 +357,9 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     if p.mode == "split":
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
         smp = advect_split_auto(buffer, vx, vy, vz, p.dt,
-                                use_pallas=p.use_pallas)
+                                use_pallas=p.use_pallas,
+                                prefer_t=_advect_prefer_t(p, vx.shape,
+                                                          vx.dtype))
         dens, = _pad_bounds_tail(smp, (0,), masks, p)
     else:
         dens = advect(0, buffer, vx, vy, vz, masks, p.dt, p.wall_mode,

@@ -80,6 +80,12 @@ def step(W, H, D, variant):
                         empty_scene=p.empty_scene)
             return out[0], out[1], out[2]
         wtm._project_dispatch = _dispatch
+    elif variant == "lane_advect":
+        # disable the transposing y/z advect passes (advect_split_t) so
+        # advect_split_auto falls back to the lane_lerp path — isolates the
+        # 58fb300 change on OBSTACLE scenes (its A/B was empty-scene only)
+        import fluid_simulation_tpu.kernels.advect_pallas as ap
+        ap.advect_split_t_supported = lambda shape: False
 
     np.asarray(jax.jit(lambda: jax.numpy.zeros((8, 128)))())
     params = SimParams(width=W, height=H, depth=D, div_stats=False,
