@@ -19,8 +19,9 @@ NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
 - ``grid_256x128x128`` / ``grid_256x256x256`` / ``grid_512x256x256``: big
   grids (config 5's single-chip proxy; the 2-chip run is exercised by
   tests + dryrun).
-- ``obstacle_256x128x128``: big grid + voxel sphere — exercises the masked
-  z-streamed projection + keep-masked streaming solves.
+- ``obstacle_256x128x128`` / ``obstacle_256x256x256``: big grid + voxel
+  sphere — exercises the masked z-streamed projection, keep-masked
+  streaming solves, and the lane-advect routing (_advect_prefer_t).
 - ``flagship_bf16``: bfloat16 state.
 
 Each config reports ms/step and cell-updates/s; failures are recorded as
@@ -160,6 +161,14 @@ def main():
     record("grid_256x256x256",
            SimParams(width=256, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=4)
+    # masked-stream route at the biggest grid: guards the advect routing
+    # (_advect_prefer_t) and the masked z-streaming kernels driver-visibly
+    huge_sphere = add_sphere(empty_obstacles(256, 256, 256), cx=85, cy=128,
+                             cz=128, radius=40)
+    record("obstacle_256x256x256",
+           SimParams(width=256, height=256, depth=256, div_stats=False,
+                     step_stats=False, mode="split"),
+           obstacles=np.asarray(huge_sphere), reps=2, n=4)
     record("grid_512x256x256",
            SimParams(width=512, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=3)

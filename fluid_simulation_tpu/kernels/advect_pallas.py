@@ -808,13 +808,13 @@ def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True, prefer_t=True):
 
     ``prefer_t=False`` skips the t-pass and keeps the lane_lerp path: in
     steps whose projections/solves run the MASKED z-streaming kernels
-    (obstacle scenes past VMEM residency), the t-pass LOSES end-to-end —
-    tools/exp_project_masked.py, one variant per process, 256x128x128
-    sphere: stock (t-pass) 17.0 ms/step vs lane_advect 15.6, while the
-    same swap wins on the empty-scene step at every size (table above).
-    Same kernel-combination family as the prestep/stacked-grid faults:
-    adding the transpose programs to the masked streaming mix costs more
-    than the pass saves, so the caller routes on scene."""
+    (obstacle scenes past VMEM residency) the transpose programs cost a
+    roughly CONSTANT ~1.5 ms in the streaming mix, so the t-pass loses
+    where its size-dependent win is smaller than that — 17.0 vs 15.6
+    ms/step at 256x128x128 sphere — and still wins where it is larger
+    (64.9 vs 71.5 at 256^3 sphere; tools/exp_project_masked.py, one
+    variant per process). The caller routes on scene AND size
+    (models/windtunnel.py::_advect_prefer_t)."""
     if use_pallas and prefer_t and advect_split_t_supported(prev.shape):
         return advect_split_t(prev, vx, vy, vz, float(dt_))
     if use_pallas and lane_lerp_supported(prev.shape):

@@ -205,14 +205,28 @@ def _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz, masks, p: SimParams,
             diffuse(3, vz, pvz, masks, p.dt, vel_diff, **kw))
 
 
+# Measured crossover for the masked-stream advect routing below
+# (tools/exp_project_masked.py, one variant per process, one v5e):
+# at 256x128x128 sphere (4.2M cells) the t-pass LOSES 1.4 ms/step in the
+# masked z-streaming kernel mix (17.0 vs 15.6); at 256^3 sphere (16.8M)
+# it WINS 6.6 ms (64.9 vs 71.5). The mix penalty is ~constant while the
+# t-pass advantage grows with grid size (0.33 ms at 4.2M, 6.4 at 16.8M,
+# 14.4 at 33.5M cells on empty scenes — exp_advect_t), so only the
+# smaller masked-stream grids prefer the lane path.
+_LANE_ADVECT_MAX_CELLS = 8 * 1024 * 1024
+
+
 def _advect_prefer_t(p: SimParams, shape, dtype) -> bool:
-    """Route split advection off the transposing y/z passes exactly when
-    the step's projections take the MASKED z-streaming route (obstacle
-    scene past VMEM residency): there the t-pass LOSES end-to-end — 17.0
-    vs 15.6 ms/step at 256x128x128 sphere (tools/exp_project_masked.py,
-    one variant per process) — while it wins at every empty-scene size
-    and on VMEM-resident obstacle scenes (tools/exp_advect_t.py)."""
+    """Route split advection off the transposing y/z passes when the
+    step's projections take the MASKED z-streaming route (obstacle scene
+    past VMEM residency) AND the grid is below the measured crossover —
+    there the t-pass loses end-to-end (17.0 vs 15.6 ms/step at
+    256x128x128 sphere); it wins at every empty-scene size, on
+    VMEM-resident obstacle scenes, and on masked grids >= 8M cells
+    (64.9 vs 71.5 ms/step at 256^3 sphere). See _LANE_ADVECT_MAX_CELLS."""
     if p.empty_scene or not p.use_pallas or p.solver != "rbgs":
+        return True
+    if p.n_cells >= _LANE_ADVECT_MAX_CELLS:
         return True
     from fluid_simulation_tpu.kernels.project_pallas import (
         pallas_project_masked_supported)

@@ -266,6 +266,17 @@ def test_split_step_prefers_lane_advect_on_masked_stream_route(monkeypatch):
                         lambda shape, dtype: False)
     assert run(SimParams(**small), sphere) == [False, False]
 
+    # size crossover: on masked-stream grids >= 8M cells the t-pass wins
+    # again (64.9 vs 71.5 ms/step at 256^3 sphere) — unit-check the helper
+    # directly to avoid allocating a 256^3 state on the test mesh
+    big = SimParams(width=256, height=256, depth=256, mode="split",
+                    empty_scene=False)
+    import jax.numpy as jnp
+    assert wtm._advect_prefer_t(big, (258, 258, 258), jnp.float32) is True
+    small_masked = SimParams(**small).replace(empty_scene=False)
+    assert wtm._advect_prefer_t(
+        small_masked, (10, 10, 18), jnp.float32) is False
+
 
 def test_lane_lerp_stack_matches_per_field():
     """The stacked shared-index kernel vs per-field lane_lerp on both

@@ -86,6 +86,13 @@ def step(W, H, D, variant):
         # 58fb300 change on OBSTACLE scenes (its A/B was empty-scene only)
         import fluid_simulation_tpu.kernels.advect_pallas as ap
         ap.advect_split_t_supported = lambda shape: False
+    elif variant == "tpass_advect":
+        # force the t-pass even on the masked-stream route (undo
+        # _advect_prefer_t): the t-pass's empty-scene win GROWS with grid
+        # size (1.4 ms at 256x128x128, 6.4 ms at 256^3) while the
+        # masked-mix penalty may not — measure per size
+        import fluid_simulation_tpu.models.windtunnel as wtm
+        wtm._advect_prefer_t = lambda p, shape, dtype: True
 
     np.asarray(jax.jit(lambda: jax.numpy.zeros((8, 128)))())
     params = SimParams(width=W, height=H, depth=D, div_stats=False,
