@@ -19,9 +19,11 @@ NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
 - ``grid_256x128x128`` / ``grid_256x256x256`` / ``grid_512x256x256``: big
   grids (config 5's single-chip proxy; the 2-chip run is exercised by
   tests + dryrun).
-- ``obstacle_256x128x128`` / ``obstacle_256x256x256``: big grid + voxel
-  sphere — exercises the masked z-streamed projection, keep-masked
-  streaming solves, and the lane-advect routing (_advect_prefer_t).
+- ``obstacle_256x128x128`` / ``obstacle_256x256x256`` /
+  ``obstacle_512x256x256``: big grid + voxel sphere — exercises the
+  masked z-streamed projection, keep-masked streaming solves, the
+  lane-advect routing (_advect_prefer_t), and the wide-row masked
+  VMEM gate (blk=4 at 512-wide rows).
 - ``flagship_bf16``: bfloat16 state.
 
 Each config reports ms/step and cell-updates/s; failures are recorded as
@@ -172,6 +174,15 @@ def main():
     record("grid_512x256x256",
            SimParams(width=512, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=3)
+    # wide-row masked gate guard: this configuration compile-OOM'd scoped
+    # VMEM until _pick_blk charged keep configs on >2-lane-tile rows
+    # honestly (linsolve_stream.py) — keep it driver-visible
+    wide_sphere = add_sphere(empty_obstacles(512, 256, 256), cx=170,
+                             cy=128, cz=128, radius=40)
+    record("obstacle_512x256x256",
+           SimParams(width=512, height=256, depth=256, div_stats=False,
+                     step_stats=False, mode="split"),
+           obstacles=np.asarray(wide_sphere), reps=2, n=3)
 
     # BASELINE config 4: 8 geometries, one program, auto-routed
     try:

@@ -56,12 +56,18 @@ def _pick_blk(shape, dtype, apply_keep: bool):
     below (22 rows-equivalents per block row) matches the largest working
     configuration (256^3, blk=16, ~92 MB). Without a keep mask the kernel
     streams one fewer full window (n_stream below), so its budget is 3
-    row-units smaller (ADVICE r2)."""
+    row-units smaller (ADVICE r2). Rows wider than two lane tiles charge
+    25 units with keep: 512x256x256 masked at blk=8 measured 97.3 MiB
+    scoped VMEM against the 22-unit model's 92.3 (compile-time OOM over
+    the 96 MiB meter; 24.3 units would be the exact fit), so wide-row
+    keep configs drop to blk=4."""
     D, H, W = (n - 2 for n in shape)
     it = _itemsize(dtype)
     rb = _tiled_bytes((1, H, W), it)
     units = 22 if apply_keep else 19
-    for blk in (16, 8):
+    if apply_keep and W > 256:
+        units = 25
+    for blk in (16, 8, 4):
         if blk > D:
             continue
         if units * blk * rb <= VMEM_BUDGET_BYTES:

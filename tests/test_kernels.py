@@ -431,6 +431,14 @@ def test_solve_dispatch_gates():
     assert _pick_blk(flagship, jnp.float32, True) is not None
     assert _pick_blk(big, jnp.float32, False) == 16
     assert _pick_blk(huge, jnp.float32, False) == 16
+    # keep at 256^3 stays on the known-working blk=16
+    assert _pick_blk(huge, jnp.float32, True) == 16
+    # wide rows (>2 lane tiles) with keep charge 24 units: 512x256x256
+    # masked at blk=8 measured 97.3M scoped VMEM vs the 96M meter, so the
+    # keep config must drop to blk=4 while the empty one keeps blk=8
+    wide = (258, 258, 514)
+    assert _pick_blk(wide, jnp.float32, False) == 8
+    assert _pick_blk(wide, jnp.float32, True) == 4
     # a pathological row size exceeds the stream budget
     assert _pick_blk((10, 1026, 2050), jnp.float32, False) is None
     # on CPU both TPU gates must refuse (tests run the jnp oracle)
