@@ -64,7 +64,12 @@ class SimParams:
     wall_mode: str = "reference"
 
     # Compute dtype for the fields ('float32' | 'bfloat16'). The reference is
-    # f32; bf16 halves HBM traffic at ~3 decimal digits.
+    # f32. NOTE: bf16 is measured SLOWER than f32 on the v5e today — -23% at
+    # the 128x64x64 flagship (kernels upcast coords/rolls to f32 in VMEM, so
+    # bf16 only shrinks HBM bytes the flagship doesn't pay) and neutral (<1%)
+    # at 256^3 (the streaming solve is DMA-issue-bound, not byte-bound;
+    # NOTES.md "Re-falsified: bf16 at 256^3"). Use f32 unless HBM *capacity*
+    # is the constraint; bf16 carries ~3 decimal digits.
     dtype: str = "float32"
 
     # Use Pallas fused kernels when available for this grid (falls back to the

@@ -450,10 +450,22 @@ def test_cpack_solve_matches_packed_interpret():
     """Color-packed (x-checkerboard) solve == packed resident kernel:
     bitwise with a keep mask; empty-scene differs only by interpret-mode
     FMA contraction (~1 ulp; bitwise on chip per tools/exp_cpack.py)."""
+    import importlib.util
+    import pathlib
+
     import jax.numpy as jnp
-    from fluid_simulation_tpu.kernels.linsolve_cpack import (
-        pallas_rbgs_solve_cpack, pack_colors, unpack_colors)
     from fluid_simulation_tpu.kernels.linsolve_pallas import pallas_rbgs_solve
+
+    # cpack is a falsified experiment kept OUT of the package (VERDICT r3
+    # item 8): load it from tools/ where it now lives
+    _p = pathlib.Path(__file__).resolve().parents[1] / "tools" / \
+        "linsolve_cpack.py"
+    _spec = importlib.util.spec_from_file_location("linsolve_cpack", _p)
+    _mod = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    pallas_rbgs_solve_cpack = _mod.pallas_rbgs_solve_cpack
+    pack_colors = _mod.pack_colors
+    unpack_colors = _mod.unpack_colors
 
     rng = np.random.default_rng(7)
     f = rng.normal(size=(6, 5, 8)).astype(np.float32)

@@ -15,7 +15,7 @@ def main():
     import jax.numpy as jnp
     from fluid_simulation_tpu.kernels.linsolve_pallas import (
         pallas_rbgs_solve, pallas_solve_supported)
-    from fluid_simulation_tpu.kernels.linsolve_cpack import (
+    from linsolve_cpack import (
         pallas_rbgs_solve_cpack, cpack_solve_supported)
 
     W, H, D = (int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 else (256, 64, 64)
@@ -79,7 +79,7 @@ def stream_main():
     import jax.numpy as jnp
     from fluid_simulation_tpu.kernels.linsolve_stream import (
         pallas_rbgs_solve_stream)
-    from fluid_simulation_tpu.kernels.linsolve_cpack import (
+    from linsolve_cpack import (
         pallas_rbgs_solve_cpack_stream, cpack_stream_supported)
     import time
     W, H, D = (int(a) for a in sys.argv[2:5]) if len(sys.argv) > 4 else (256, 256, 256)

@@ -1,5 +1,12 @@
 """Color-packed (x-checkerboard) red-black GS solve (Pallas TPU).
 
+FALSIFIED EXPERIMENT — lives in tools/, not the package (VERDICT r3 #8):
+measured 3.5x SLOWER than the packed resident kernel at 256x64x64 and
+neutral at 256^3 (NOTES.md "Falsified: color-packed (x-checkerboard)
+sweeps"). Kept because the packing algebra is reusable and the parity test
+(tests/test_kernels.py::test_cpack_solve_matches_packed_interpret) guards
+the shared ghost-splice expressions it exercises.
+
 The resident/streamed packed kernels compute every half-sweep over the FULL
 grid and discard half the lanes with the red/black select — ~2x more VPU
 work than the useful update — and at W=256 their ±1 lane shifts cross two
