@@ -50,12 +50,15 @@ def _roll(x, shift: int, axis: int):
 def _tiled_bytes(shape, itemsize=4):
     d = list(shape)
     d[-1] = -(-d[-1] // 128) * 128
-    sub = 16 if itemsize == 2 else 8   # bf16 tiles are (16, 128)
+    # native tiles: f32 (8, 128), bf16 (16, 128), int8 (32, 128)
+    sub = {4: 8, 2: 16, 1: 32}[itemsize]
     d[-2] = -(-d[-2] // sub) * sub
     return int(np.prod(d)) * itemsize
 
 
 def _itemsize(dtype) -> int:
+    if dtype == jnp.int8:
+        return 1
     return 2 if dtype == jnp.bfloat16 else 4
 
 

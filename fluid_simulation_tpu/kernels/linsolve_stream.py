@@ -46,31 +46,51 @@ from fluid_simulation_tpu.kernels.linsolve_pallas import (
     VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes, _roll)
 
 
-def _pick_blk(shape, dtype, apply_keep: bool):
-    """Packed z-block choice, or None. ``shape`` is the padded shape.
+HB_STREAM = 2   # halo-stream rows: the kernels read only 1-2 rows of each
+                # lo/hi window, so 2 rows is the traffic floor (r4; was 8 —
+                # 8-row windows cost 2 extra full row-units of HBM per sweep
+                # at blk=8 and bloated scoped VMEM for nothing)
 
-    Calibrated on the chip rather than modeled: blk = 16 runs at every
-    tested shape up to 256^3 while blk >= 24 faults at runtime even at
-    *smaller* footprints (a Mosaic limit on the ~blk+4-row temporaries, not
-    modelable as bytes), and 8 vs 16 measure within noise. The byte bound
-    below (22 rows-equivalents per block row) matches the largest working
-    configuration (256^3, blk=16, ~92 MB). Without a keep mask the kernel
-    streams one fewer full window (n_stream below), so its budget is 3
-    row-units smaller (ADVICE r2). Rows wider than two lane tiles charge
-    25 units with keep: 512x256x256 masked at blk=8 measured 97.3 MiB
-    scoped VMEM against the 22-unit model's 92.3 (compile-time OOM over
-    the 96 MiB meter; 24.3 units would be the exact fit), so wide-row
-    keep configs drop to blk=4."""
+
+def _stream_vmem_bytes(blk: int, hb: int, shape, dtype, apply_keep: bool,
+                       keep_i8: bool) -> int:
+    """Scoped-VMEM byte model of one packed-sweep kernel invocation,
+    fitted to the compiler's meter on two chip-measured anchors:
+    512x256x256/blk=8/hb=8/keep-f32 measured 97.3 MiB (model 102 — rejects
+    over the 96 MiB meter, correctly) and 256^3/blk=16/hb=8/keep-f32
+    compiles (model 75). Components: double-buffered in-streams
+    (lo+mid+hi = blk+2hb rows per operand), double-buffered out, the two
+    (blk+4)-row scratch buffers, and ~2 rows-worth of live halfsweep
+    temporaries per block row."""
     D, H, W = (n - 2 for n in shape)
     it = _itemsize(dtype)
     rb = _tiled_bytes((1, H, W), it)
-    units = 22 if apply_keep else 19
-    if apply_keep and W > 256:
-        units = 25
+    rk = _tiled_bytes((1, H, W), 1) if keep_i8 else rb
+    wrows = blk + 2 * hb
+    streams = 2 * wrows * (2 * rb + (rk if apply_keep else 0))
+    out = 2 * blk * rb
+    scratch = 2 * (blk + 4) * rb
+    temps = 2 * (blk + 2) * rb
+    return streams + out + scratch + temps
+
+
+def _pick_blk(shape, dtype, apply_keep: bool, hb: int = HB_STREAM,
+              keep_i8: bool = True):
+    """Packed z-block choice, or None. ``shape`` is the padded shape.
+
+    blk is capped at 16: blk >= 24 faulted at runtime even at small
+    footprints in r2 (a Mosaic limit on the ~blk+4-row temporaries, not
+    modelable as bytes). Within that cap the byte model above decides;
+    it reproduces every r3 empirical gate (512-wide keep-f32/hb=8 blk=8
+    rejected -> blk=4; everything else blk=16 or 8) and with the r4
+    hb=2 + int8-keep defaults it re-admits blk=8 at 512-wide keep rows
+    and blk=16 at 512-wide empty rows."""
+    D, H, W = (n - 2 for n in shape)
     for blk in (16, 8, 4):
-        if blk > D:
+        if blk > D or blk % hb:
             continue
-        if units * blk * rb <= VMEM_BUDGET_BYTES:
+        if _stream_vmem_bytes(blk, hb, shape, dtype, apply_keep,
+                              keep_i8) <= VMEM_BUDGET_BYTES:
             return blk
     return None
 
@@ -109,6 +129,8 @@ def _rebuild_padded(field, fpre, kp, b, wall_mode, empty_scene):
     models/windtunnel._pad_bounds_tail already solved)."""
     dt = field.dtype
     sx, sy, sz = (jnp.asarray(s, dt) for s in _solve_signs(b, wall_mode))
+    if not empty_scene and kp.dtype != dt:
+        kp = kp.astype(dt)   # int8-streamed keep: exact 0/1 either way
     core = fpre if empty_scene else fpre * kp
     # middle z rows: x faces, then y faces with the ghost-edge columns
     lvl1 = jnp.concatenate([sx * fpre[:, :, :1], core, fpre[:, :, -1:]],
@@ -132,13 +154,17 @@ def _rebuild_padded(field, fpre, kp, b, wall_mode, empty_scene):
 
 def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
                        interior, blk: int, dtype, apply_keep: bool,
-                       xshift: str = "roll"):
+                       xshift: str = "roll", hb: int = HB_STREAM,
+                       keep_i8: bool = True):
     D, H, W = interior
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
     sx, sy, sz = _solve_signs(b, wall_mode)
 
-    hb = min(8, blk)                     # halo-stream block height
+    def _k(x):
+        # keep streams as int8 (exact 0/1 -> the f32 multiply is bitwise
+        # unchanged) so mask traffic costs 1 byte/cell, not 4 (VERDICT r3 #2)
+        return x.astype(dtype) if keep_i8 else x
 
     def body(plo, pmid, phi, rlo, rmid, rhi, klo, kmid, khi, out, ext, pw):
         k = pl.program_id(0)
@@ -148,9 +174,9 @@ def _make_sweep_kernel(b: int, a: float, c: float, wall_mode: str,
         pw[blk + 2:] = phi[:2]
         # post-keep base of this sweep
         if apply_keep:
-            ext[0:2] = pw[0:2] * klo[hb - 2:]
-            ext[2:blk + 2] = pw[2:blk + 2] * kmid[...]
-            ext[blk + 2:] = pw[blk + 2:] * khi[:2]
+            ext[0:2] = pw[0:2] * _k(klo[hb - 2:])
+            ext[2:blk + 2] = pw[2:blk + 2] * _k(kmid[...])
+            ext[blk + 2:] = pw[blk + 2:] * _k(khi[:2])
         else:
             ext[...] = pw[...]
         rhs = jnp.concatenate([rlo[hb - 1:], rmid[...], rhi[:1]], axis=0)
@@ -222,7 +248,9 @@ def _make_sweep1_kernel(b: int, a: float, c: float, shape, blk: int, dtype):
     a_lit = float(np.float32(a))
     crec_lit = float(np.float32(1.0) / np.float32(c))
     E = blk + 2
-    hb = min(8, blk)
+    # halo windows: the kernel reads 1 row of lo and 3 of hi, so 4-row
+    # windows (not 8) are the floor given the hb | blk grid constraint
+    hb = min(4, blk)
 
     def kernel(flo, fmid, fhi, rlo, rmid, rhi, out, ext):
         k = pl.program_id(0)
@@ -281,7 +309,7 @@ def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
     rbi = _tiled_bytes((1, H, W), it)          # packed row
 
     def _ok(cand):
-        h = min(8, cand)
+        h = min(4, cand)
         if not (h >= 3 and cand % h == 0 and cand <= D):
             return False
         # scoped-VMEM model, fitted to the chip: scratch (blk+4 padded
@@ -302,7 +330,7 @@ def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
             raise ValueError(f"no sweep-1 block fits D={D} rows {H}x{W}")
     interior = (D, H, W)
     nblk = -(-D // blk)
-    hb = min(8, blk)
+    hb = min(4, blk)   # must match _make_sweep1_kernel's hb
     r = blk // hb
     nhb = -(-D // hb)
     nhb_pad = -(-D2 // hb)
@@ -346,19 +374,29 @@ def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
 
 
 def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
-                           blk, interpret, xshift="roll"):
+                           blk, interpret, xshift="roll", hb=None,
+                           keep_i8=True):
     """Build the per-sweep pallas_call: ``call(f, f, f, rp, rp, rp[, kp, kp,
     kp])`` maps the pre-keep field to the next sweep's pre-keep field.
     Shared by the solve wrapper below and the streamed projection
-    (kernels/project_stream.py)."""
+    (kernels/project_stream.py). With ``keep_i8`` the kp operands are int8.
+
+    lo/hi halo streams use hb-row blocks (hb | blk): the kernel reads only
+    1-2 rows of each, so hb=2 (HB_STREAM) is the traffic floor — at blk=8
+    the per-sweep HBM drops from 7 to 4 row-units (f 1.5 + rhs 1.5 + out 1)
+    and at blk=16 from 5 to 3.5; the r3 hb=8 windows were pure waste."""
     D, H, W = interior
     nblk = -(-D // blk)
+    if hb is None:
+        # smallest divisor of blk that is >= 2 (the kernel reads 2 rows of
+        # each halo window, and the grid maps need hb | blk) — 2 for every
+        # production block, 3/blk only for odd test blocks
+        hb = next(h for h in range(HB_STREAM, blk + 1) if blk % h == 0)
+    if blk % hb or hb < 2:
+        raise ValueError(f"hb={hb} must divide blk={blk} and be >= 2")
     kernel = _make_sweep_kernel(b, a, c, wall_mode, interior, blk,
-                                dtype, apply_keep, xshift=xshift)
-    # lo/hi halo streams use hb-row blocks (hb | blk) so each block re-reads
-    # only ~2*hb halo rows instead of 2*blk (5 vs 7 row-units of HBM per
-    # sweep at blk=16)
-    hb = min(8, blk)
+                                dtype, apply_keep, xshift=xshift, hb=hb,
+                                keep_i8=keep_i8)
     r = blk // hb
     nhb = -(-D // hb)
     mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
@@ -374,6 +412,9 @@ def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET_BYTES)
+    it = _itemsize(dtype)
+    keep_bytes = (_tiled_bytes(interior, 1 if keep_i8 else it)
+                  if apply_keep else 0)
     return pl.pallas_call(
         kernel,
         grid=(nblk,),
@@ -385,8 +426,9 @@ def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=20 * int(np.prod(interior)),
-            bytes_accessed=(7 + 3 * (1 if apply_keep else 0))
-            * _tiled_bytes(interior, _itemsize(dtype)),
+            bytes_accessed=int((3 + 4 * hb / blk)
+                               * _tiled_bytes(interior, it)
+                               + (1 + 2 * hb / blk) * keep_bytes),
             transcendentals=0),
         **kwargs,
     )
@@ -394,14 +436,17 @@ def make_packed_sweep_call(b, a, c, wall_mode, interior, dtype, apply_keep,
 
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk",
-    "xshift"))
+    "xshift", "keep_i8"))
 def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
                              acc: int = 15, wall_mode: str = "reference",
                              interpret: bool = False,
                              empty_scene: bool = False,
-                             blk: int | None = None, xshift: str = "roll"):
+                             blk: int | None = None, xshift: str = "roll",
+                             keep_i8: bool = True):
     """Drop-in equivalent of ``pallas_rbgs_solve_blocked`` on packed-interior
     streamed data. ``blk`` overrides the auto-sized z-block (tests).
+    ``keep_i8`` streams the keep mask as int8 (1 byte/cell vs 4; the mask is
+    exact 0/1 so the f32 multiply is bitwise unchanged — VERDICT r3 #2).
 
     Requires ``keep == 1`` on the ghost shell (true for every mask from
     ``build_masks``; see the resident packed kernel's contract)."""
@@ -411,7 +456,7 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
     interior = tuple(n - 2 for n in shape)
     D, H, W = interior
     if blk is None:
-        blk = _pick_blk(shape, dtype, apply_keep)
+        blk = _pick_blk(shape, dtype, apply_keep, keep_i8=keep_i8)
         if blk is None:
             raise ValueError(f"no stream-solve block fits {shape}")
     if blk < 2:
@@ -424,12 +469,13 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
     call1 = make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
                                     interpret)
     fpre = call1(field, field, field, rp, rp, rp)
-    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
+    kdt = jnp.int8 if keep_i8 else dtype
+    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(kdt)
 
     if acc > 1:
         call = make_packed_sweep_call(b, a, c, wall_mode, interior, dtype,
                                       apply_keep, blk, interpret,
-                                      xshift=xshift)
+                                      xshift=xshift, keep_i8=keep_i8)
 
         def sweep(f, _):
             ops = [f, f, f, rp, rp, rp]
@@ -448,7 +494,7 @@ def pallas_rbgs_solve_stream(b: int, field, prev, keep, a: float, c: float,
 
 def _make_sweep_kernel_t(b: int, a: float, c: float, wall_mode: str,
                          interior, blk: int, ksw: int, dtype,
-                         apply_keep: bool):
+                         apply_keep: bool, keep_i8: bool = True):
     """ksw full sweeps per streaming pass on the packed pre-keep carry.
 
     The z-block streaming sweep is HBM-bound at the platform's ~350-430
@@ -478,7 +524,14 @@ def _make_sweep_kernel_t(b: int, a: float, c: float, wall_mode: str,
         pw[m:blk + m] = pmid[...]
         pw[blk + m:] = phi[...]
         if apply_keep:
-            kw_lo, kw_mid, kw_hi = klo[...], kmid[...], khi[...]
+            # int8-streamed keep converts on load (exact 0/1 -> the f32
+            # multiplies are bitwise unchanged; 1 byte/cell of mask traffic)
+            if keep_i8:
+                kw_lo = klo[...].astype(dtype)
+                kw_mid = kmid[...].astype(dtype)
+                kw_hi = khi[...].astype(dtype)
+            else:
+                kw_lo, kw_mid, kw_hi = klo[...], kmid[...], khi[...]
 
         def apply_k(e0, e1):
             """ext[e0:e1] = pw[e0:e1] * keep(rows), piecewise over the
@@ -606,15 +659,17 @@ def temporal_stream_preferred(shape, dtype=jnp.float32,
 
 
 def make_packed_sweep_call_t(b, a, c, wall_mode, interior, dtype,
-                             apply_keep, blk, nsw, interpret):
+                             apply_keep, blk, nsw, interpret,
+                             keep_i8=True):
     """Per-pass pallas_call running ``nsw`` sweeps (the temporal variant of
-    make_packed_sweep_call, same operand protocol). Shared with the
-    streamed projection's Poisson loop."""
+    make_packed_sweep_call, same operand protocol; kp operands are int8
+    under ``keep_i8``). Shared with the streamed projection's Poisson
+    loop."""
     D, H, W = interior
     nblk = -(-D // blk)
     mm = 2 * nsw
     kernel = _make_sweep_kernel_t(b, a, c, wall_mode, interior, blk,
-                                  nsw, dtype, apply_keep)
+                                  nsw, dtype, apply_keep, keep_i8=keep_i8)
     nmb = -(-D // mm)
     mid = pl.BlockSpec((blk, H, W), lambda k: (k, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -651,12 +706,13 @@ def make_packed_sweep_call_t(b, a, c, wall_mode, interior, dtype,
 
 @functools.partial(jax.jit, static_argnames=(
     "b", "a", "c", "acc", "wall_mode", "interpret", "empty_scene", "blk",
-    "ksw"))
+    "ksw", "keep_i8"))
 def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
                                acc: int = 15, wall_mode: str = "reference",
                                interpret: bool = False,
                                empty_scene: bool = False,
-                               blk: int | None = None, ksw: int = 4):
+                               blk: int | None = None, ksw: int = 4,
+                               keep_i8: bool = True):
     """Temporally-blocked drop-in for pallas_rbgs_solve_stream: ksw sweeps
     per streaming pass (plus a remainder pass)."""
     shape = field.shape
@@ -676,7 +732,8 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
     call1 = make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
                                     interpret)
     fpre = call1(field, field, field, rp, rp, rp)
-    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(dtype)
+    kdt = jnp.int8 if keep_i8 else dtype
+    kp = None if empty_scene else keep[1:-1, 1:-1, 1:-1].astype(kdt)
 
     nsw_left = acc - 1
     if nsw_left > 0:
@@ -684,7 +741,7 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
         if npass:
             call = make_packed_sweep_call_t(b, a, c, wall_mode, interior,
                                             dtype, apply_keep, blk, ksw,
-                                            interpret)
+                                            interpret, keep_i8=keep_i8)
 
             def sweep(f, _):
                 ops = [f, f, f, rp, rp, rp]
@@ -697,8 +754,9 @@ def pallas_rbgs_solve_stream_t(b: int, field, prev, keep, a: float, c: float,
             call1 = make_packed_sweep_call(b, a, c, wall_mode, interior,
                                            dtype, apply_keep,
                                            _pick_blk(shape, dtype,
-                                                     apply_keep) or blk,
-                                           interpret)
+                                                     apply_keep,
+                                                     keep_i8=keep_i8) or blk,
+                                           interpret, keep_i8=keep_i8)
 
             def sweep1(f, _):
                 ops = [f, f, f, rp, rp, rp]

@@ -54,15 +54,17 @@ from fluid_simulation_tpu.kernels.linsolve_stream import (
 from fluid_simulation_tpu.ops.project import grid_h
 
 BLK = 16   # preferred z-block of the div/grad kernels
-HB = 8     # halo-stream block
+HB = 2     # halo-stream block: the kernels read only 1-2 rows of each
+           # lo/hi window (r4; was 8 — pure HBM + scoped-VMEM waste)
 
 
 def _pick_blk_proj(shape, dtype):
-    """Largest z-block whose div AND grad stages fit VMEM (double-buffered
-    windows). At 256^3-class rows this returns the calibrated 16; 512-wide
-    rows (2x the bytes) must drop to 8 — the hardcoded BLK=16 blew the
-    512x256x256 compile inside bench.py (scoped-VMEM overflow in the div
-    stage's three padded 24-row window streams)."""
+    """Largest z-block whose div AND grad stages fit VMEM: double-buffered
+    windows PLUS the in-kernel concat temporaries (3 padded (blk+2)-row
+    velocity concats in div, the p concat + 3 grads in grad) — the r4 hb=2
+    windows made the stream terms small enough that the temporaries now
+    decide the wide-row gate (blk=16 at 512x256x256 compile-OOM'd scoped
+    VMEM without charging them; blk=8 runs)."""
     D2, H2, W2 = shape
     D, H, W = D2 - 2, H2 - 2, W2 - 2
     it = _itemsize(dtype)
@@ -72,8 +74,10 @@ def _pick_blk_proj(shape, dtype):
         if blk > D:
             continue
         hb = min(HB, blk)
-        div = 2 * (3 * (blk + hb) * rbp + blk * rbi)
-        grad = 2 * ((blk + 2 * hb) * rbi + 3 * blk * rbi)
+        div = (2 * (3 * (blk + hb) * rbp + blk * rbi)
+               + 3 * (blk + 2) * rbp)
+        grad = (2 * ((blk + 2 * hb) * rbi + 3 * blk * rbi)
+                + 4 * (blk + 2) * rbi)
         if max(div, grad) <= VMEM_BUDGET_BYTES:
             return blk
     return None
@@ -283,6 +287,7 @@ def _pick_blk_masked(shape, dtype):
     it = _itemsize(dtype)
     rbp = _tiled_bytes((1,) + shape[1:], it)   # padded row
     rbi = _tiled_bytes((1, H, W), it)          # packed row
+    rki = _tiled_bytes((1, H, W), 1)           # packed int8 fluid row
 
     def fit(cost):
         for blk in (BLK, 8, 4):
@@ -293,14 +298,16 @@ def _pick_blk_masked(shape, dtype):
         return None
 
     def div_cost(blk, hb):
-        # 3 padded vel windows + packed fluid windows + packed out, all
-        # double-buffered, + ~8 rows of live nb-mask/iota temporaries
-        return (2 * (3 * (blk + hb) * rbp + (blk + 2 * hb) * rbi
-                     + blk * rbi) + 8 * blk * rbi)
+        # 3 padded vel windows + packed int8 fluid windows + packed out,
+        # all double-buffered, + the 3 padded (blk+2)-row concat
+        # temporaries + ~8 rows of live nb-mask/iota temporaries
+        return (2 * (3 * (blk + hb) * rbp + (blk + 2 * hb) * rki
+                     + blk * rbi) + 3 * (blk + 2) * rbp + 8 * blk * rbi)
 
     def grad_cost(blk, hb):
-        return (2 * (2 * (blk + 2 * hb) * rbi + 3 * (blk + hb) * rbp
-                     + 3 * blk * rbi) + 10 * blk * rbi)
+        return (2 * ((blk + 2 * hb) * (rbi + rki) + 3 * (blk + hb) * rbp
+                     + 3 * blk * rbi) + 3 * (blk + 2) * rbp
+                + 10 * blk * rbi)
 
     bd, bg = fit(div_cost), fit(grad_cost)
     return None if bd is None or bg is None else (bd, bg)
@@ -315,7 +322,10 @@ def _nb_masks(fw, blk, k, D, H, W, dtype):
     """The six fluid-neighbor masks on a z-block, from the packed fluid
     window ``fw`` (rows r-1..r+blk): ``nb_* = fluid_shifted * in_bounds``
     (scene/masks.py:96-102), in the same roll+where form as the fused
-    masked kernel (project_pallas.py::_make_project_masked_kernel)."""
+    masked kernel (project_pallas.py::_make_project_masked_kernel).
+    ``fw`` must already be ``dtype`` (int8-streamed callers convert on
+    load — exact 0/1, so all downstream mask algebra is bitwise
+    unchanged)."""
     fl = fw[1:blk + 1]
     ix = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 2)
     iy = jax.lax.broadcasted_iota(jnp.int32, (blk, H, W), 1)
@@ -341,7 +351,10 @@ def _div_masked_kernel_maker(shape, blk, hb, dtype):
         wx = jnp.concatenate([vxm[...], vxh[:2]], axis=0)
         wy = jnp.concatenate([vym[...], vyh[:2]], axis=0)
         wz = jnp.concatenate([vzm[...], vzh[:2]], axis=0)
-        fw = jnp.concatenate([flo[hb - 1:], fmid[...], fhi[:1]], axis=0)
+        # fluid streams int8; convert per-window (exact 0/1)
+        fw = jnp.concatenate([flo[hb - 1:].astype(dtype),
+                              fmid[...].astype(dtype),
+                              fhi[:1].astype(dtype)], axis=0)
         fl, nb_xp, nb_xm, nb_yp, nb_ym, nb_zp, nb_zm = _nb_masks(
             fw, blk, k, D, H, W, dtype)
         # obstacle-aware divergence in the composable path's exact operand
@@ -369,7 +382,9 @@ def _grad_masked_kernel_maker(shape, blk, hb, dtype):
                vxm, vxh, vym, vyh, vzm, vzh, ox, oy, oz):
         k = pl.program_id(0)
         pw = jnp.concatenate([plo[hb - 1:], pmid[...], phi[:1]], axis=0)
-        fw = jnp.concatenate([flo[hb - 1:], fmid[...], fhi[:1]], axis=0)
+        fw = jnp.concatenate([flo[hb - 1:].astype(dtype),
+                              fmid[...].astype(dtype),
+                              fhi[:1].astype(dtype)], axis=0)
         fl, nb_xp, nb_xm, nb_yp, nb_ym, nb_zp, nb_zm = _nb_masks(
             fw, blk, k, D, H, W, dtype)
         p_i = pw[1:blk + 1]
@@ -435,7 +450,9 @@ def pallas_project_stream_masked(vx, vy, vz, fluid_i, acc: int = 15,
         blk_div, blk_grad = picked
     else:
         blk_div = blk_grad = blk
-    kp = fluid_i.astype(dtype)
+    # fluid streams as int8 everywhere (1 byte/cell of mask traffic;
+    # exact 0/1 so all kernel numerics are bitwise unchanged)
+    kp = fluid_i.astype(jnp.int8)
 
     kwargs = {}
     if not interpret:
@@ -514,8 +531,9 @@ def pallas_project_stream_masked(vx, vy, vz, fluid_i, acc: int = 15,
 
         fpre, _ = jax.lax.scan(sweep, fpre, None, length=nsw_left)
     # the solve's final keep multiply (set_bounds order: the composable
-    # linear_solver ends post-keep; fpre here is pre-keep)
-    p_post = fpre * kp
+    # linear_solver ends post-keep; fpre here is pre-keep). kp is int8;
+    # the convert fuses into this one elementwise pass.
+    p_post = fpre * kp.astype(dtype)
 
     # ---- stage 3: masked gradients + in-kernel subtract on fluid cells
     hb, nblk, pmid, phi, kmid, klo, khi = specs(blk_grad)

@@ -53,10 +53,13 @@ def design_sweep(batched_masks, params: SimParams, steps: int,
 
     - ``'vmap'``: one vmapped step, the whole batch advances together.
       Wins when the per-step program is dispatch/latency-bound (small grids).
-    - ``'sequential'``: ``lax.map`` over geometries, each simulated with the
-      unbatched step — so every Pallas kernel runs in its fused non-vmapped
-      form. Wins when a single geometry already saturates the chip
-      (measured 1.28x over vmap at the 128x64x64 flagship, NOTES.md).
+    - ``'sequential'``: a Python-unrolled loop of ``B`` back-to-back scans
+      inside the one jit — each geometry simulated with the unbatched step
+      and *statically* indexed masks, so every Pallas kernel runs in its
+      exact single-geometry production form (resident solves, masked fused
+      projection). This is literally "B isolated runs in one program":
+      zero per-step batching overhead. Wins when a single geometry already
+      saturates the chip.
     - ``'auto'`` (default): sequential at/above ``SWEEP_VMAP_MAX_CELLS``
       interior cells, vmap below.
 
@@ -69,26 +72,41 @@ def design_sweep(batched_masks, params: SimParams, steps: int,
     if route not in ("vmap", "sequential"):
         raise ValueError(f"unknown sweep route: {route!r}")
     B = jax.tree_util.tree_leaves(batched_masks)[0].shape[0]
-    # Both routes dispatch the step with batched=True: under vmap the
-    # whole-array-VMEM kernels become whole-BATCH operands and blow scoped
-    # VMEM at compile (96M limit, measured 99.25M at 8x flagship); under
-    # the nested lax.map(scan(step)) program the same kernel mix trips a
-    # runtime Mosaic fault (the combination-fault family, NOTES.md). The
-    # z-blocked streaming kernels the flag selects survive both.
-    params = params.replace(batched=True)
 
     if route == "sequential":
-        def one_geometry(masks):
-            def body(st, _):
-                st, stats = simulation_step(st, masks, params)
-                return st, stats
-            return jax.lax.scan(body, init_state(params), None, length=steps)
+        # r4: the r3 nested ``lax.map(scan(step))`` program faulted Mosaic
+        # at runtime with the resident/masked-fused kernel mix (the
+        # combination-fault family, NOTES.md "design sweeps broke") and so
+        # had to run the z-blocked streaming kernels via batched=True —
+        # ~770 geometry-steps/s vs ~917 for 8 isolated runs. Unrolling the
+        # geometry loop in Python keeps the program a sequence of plain
+        # scans (no nesting, no dynamic mask indexing), which is the same
+        # program shape as a single-geometry run repeated B times: the
+        # production (batched=False) kernels apply. Compile time grows ~B x
+        # the single-run step program; cached after the first call.
+        finals, all_stats = [], []
+        for g in range(B):
+            masks_g = jax.tree_util.tree_map(lambda x: x[g], batched_masks)
 
-        final, stats = jax.lax.map(one_geometry, batched_masks)
-        # (B, steps, ...) -> (steps, B, ...) to match the vmap route
+            def body(st, _, m=masks_g):
+                st, stats = simulation_step(st, m, params)
+                return st, stats
+
+            f, s = jax.lax.scan(body, init_state(params), None, length=steps)
+            finals.append(f)
+            all_stats.append(s)
+        final = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *finals)
+        # per-geometry (steps, ...) -> (steps, B, ...) to match vmap
         stats = jax.tree_util.tree_map(
-            lambda x: jnp.swapaxes(x, 0, 1), stats)
+            lambda *xs: jnp.stack(xs, axis=1), *all_stats)
         return final, stats
+
+    # vmap dispatches the step with batched=True: the whole-array-VMEM
+    # kernels would otherwise become whole-BATCH operands and blow scoped
+    # VMEM at compile (96M limit, measured 99.25M at 8x flagship). The
+    # z-blocked streaming kernels the flag selects survive vmap.
+    params = params.replace(batched=True)
 
     state0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(params))

@@ -433,12 +433,17 @@ def test_solve_dispatch_gates():
     assert _pick_blk(huge, jnp.float32, False) == 16
     # keep at 256^3 stays on the known-working blk=16
     assert _pick_blk(huge, jnp.float32, True) == 16
-    # wide rows (>2 lane tiles) with keep charge 24 units: 512x256x256
-    # masked at blk=8 measured 97.3M scoped VMEM vs the 96M meter, so the
-    # keep config must drop to blk=4 while the empty one keeps blk=8
+    # wide rows (>2 lane tiles): the r4 hb=2 halo windows + int8 keep
+    # shrink the scoped-VMEM footprint enough to re-admit blk=16 empty and
+    # blk=8 keep (chip-validated r4; under the r3 hb=8/f32-keep windows
+    # these were 8 and 4 — 512x256x256 masked at blk=8 measured 97.3M
+    # scoped VMEM vs the 96M meter)
     wide = (258, 258, 514)
-    assert _pick_blk(wide, jnp.float32, False) == 8
-    assert _pick_blk(wide, jnp.float32, True) == 4
+    assert _pick_blk(wide, jnp.float32, False) == 16
+    assert _pick_blk(wide, jnp.float32, True) == 8
+    # ... and the old window shapes still reproduce the r3 gates
+    assert _pick_blk(wide, jnp.float32, False, hb=8, keep_i8=False) == 8
+    assert _pick_blk(wide, jnp.float32, True, hb=2, keep_i8=False) == 8
     # a pathological row size exceeds the stream budget
     assert _pick_blk((10, 1026, 2050), jnp.float32, False) is None
     # on CPU both TPU gates must refuse (tests run the jnp oracle)
