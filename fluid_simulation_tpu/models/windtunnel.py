@@ -37,6 +37,7 @@ from typing import NamedTuple, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from fluid_simulation_tpu.config import SimParams
 from fluid_simulation_tpu.ops.advect import advect, backtrace, trilinear_gather
@@ -83,15 +84,45 @@ def init_state(params: SimParams) -> FluidState:
 def _apply_inlets(state: FluidState, params: SimParams) -> Tuple[FluidState, jnp.ndarray]:
     """Inlet density (run loop, simulation.cpp:64-67) and inlet velocity
     (step, simulation.cpp:102-105) on the x=1 interior plane; returns the
-    post-inlet density copy (``buffer = dens``, simulation.cpp:70)."""
-    dens = state.dens.at[1:-1, 1:-1, 1].add(
-        jnp.asarray(np.float32(params.inlet_density), state.dens.dtype))
-    buffer = dens
-    vx = state.vx.at[1:-1, 1:-1, 1].set(
-        jnp.asarray(np.float32(params.speed), state.vx.dtype))
-    vy = state.vy.at[1:-1, 1:-1, 1].set(0.0)
-    vz = state.vz.at[1:-1, 1:-1, 1].set(0.0)
-    return FluidState(vx, vy, vz, dens), buffer
+    post-inlet density copy (``buffer = dens``, simulation.cpp:70).
+
+    Written as iota-masked ``where`` selects, NOT ``.at[...].set``: the
+    flagship device trace (tools/exp_trace.py, round 4) showed each plane
+    ``.at[].set`` lowering to a full-array dynamic-update-slice at ~29 us —
+    4 x 29 = 116 us/step, 12% of the 0.988 ms step — while the equivalent
+    fused elementwise selects cost one VPU pass. Values are bitwise
+    identical per call: ``where(m, x + c, x)`` / ``where(m, c, x)`` write
+    the exact same words as the indexed update (f32 + bf16, plain and
+    vmapped, checked on CPU).
+
+    ``params.batched`` keeps the indexed updates: inside the VMAPPED sweep
+    step the select formulation perturbs downstream XLA fusion enough to
+    flip f32 contractions (~1e-5 after 3 steps on CPU), breaking the
+    bitwise route-equality contract (test_sweep_routes_agree) — and the
+    sweep amortizes the DUS cost anyway. The unbatched step is bitwise
+    stable under the swap (goldens + 20-step SHA)."""
+    if params.batched:
+        dens = state.dens.at[1:-1, 1:-1, 1].add(
+            jnp.asarray(np.float32(params.inlet_density), state.dens.dtype))
+        vx = state.vx.at[1:-1, 1:-1, 1].set(
+            jnp.asarray(np.float32(params.speed), state.vx.dtype))
+        vy = state.vy.at[1:-1, 1:-1, 1].set(0.0)
+        vz = state.vz.at[1:-1, 1:-1, 1].set(0.0)
+        return FluidState(vx, vy, vz, dens), dens
+    shape = state.dens.shape
+    zi = lax.broadcasted_iota(jnp.int32, shape, 0)
+    yi = lax.broadcasted_iota(jnp.int32, shape, 1)
+    xi = lax.broadcasted_iota(jnp.int32, shape, 2)
+    m = ((xi == 1) & (zi >= 1) & (zi <= shape[0] - 2)
+         & (yi >= 1) & (yi <= shape[1] - 2))
+    dt = state.dens.dtype
+    dens = jnp.where(
+        m, state.dens + jnp.asarray(np.float32(params.inlet_density), dt),
+        state.dens)
+    vx = jnp.where(m, jnp.asarray(np.float32(params.speed), dt), state.vx)
+    vy = jnp.where(m, jnp.asarray(0.0, dt), state.vy)
+    vz = jnp.where(m, jnp.asarray(0.0, dt), state.vz)
+    return FluidState(vx, vy, vz, dens), dens
 
 
 def _pad_bounds_tail(smp, bs, masks, p: SimParams):
