@@ -23,10 +23,15 @@ NOTES.md driver-visible, so regressions can't hide in ad-hoc tools:
   ``obstacle_512x256x256``: big grid + voxel sphere — exercises the
   masked z-streamed projection, keep-masked streaming solves, the
   lane-advect routing (_advect_prefer_t), and the wide-row masked
-  VMEM gate (blk=4 at 512-wide rows).
+  VMEM gate (r4 hb=2 + int8-keep model: empty blk=16 / keep blk=8 at
+  512-wide rows, tests/test_kernels.py::test_solve_dispatch_gates).
+  The spheres sit just downstream of the inlet (cx 16-24) so the few
+  timed steps are numerically obstacle-sensitive: each obstacle
+  config's final density_sum must differ from its empty twin
+  (asserted — VERDICT r4 #3).
 - ``flagship_bf16``: bfloat16 state.
 - ``parity_compat_100step``: UNTIMED 100-step compat run asserted against
-  the reference's own printed stats (density sum 14125.1 +-1%, dens max
+  the reference's own printed stats (density sum 14125.1 +-1.5%, dens max
   0.0505 +-2% — BASELINE.md, simulation.cpp:73-90). Out-of-bounds numerics
   fail the whole bench (metric ``parity_failed``), so a numerics
   regression is driver-visible, not just CPU-suite-visible (VERDICT r3 #4).
@@ -126,10 +131,12 @@ def main():
         return jnp.max(a), jnp.mean(a, dtype=jnp.float32)
 
     configs = {}
+    raw_sums = {}  # unrounded final density sums, for the twin guards
 
     def record(name, params, obstacles=None, reps=3, n=50):
         try:
             t, ds, (dmax, dmean), p = measure(params, obstacles, reps, n)
+            raw_sums[name] = ds
             cu = p.n_cells / t
             configs[name] = {
                 "ms_per_step": round(t * 1e3, 3),
@@ -161,7 +168,7 @@ def main():
     # --- driver-visible numeric parity (VERDICT r3 #4): one UNTIMED 100-step
     # compat run at the reference's own headline workload, asserted against
     # the stats the reference itself prints (simulation.cpp:73-90 density
-    # sum; final min/max block): density sum 14125.1 +-1%, dens max
+    # sum; final min/max block): density sum 14125.1 +-1.5%, dens max
     # 0.0505 +-2% (BASELINE.md; our rbgs measures 14022.9 / 0.0505).
     # Out-of-bounds numerics FAIL the whole bench (exit via parity_failed).
     parity_ok = True
@@ -178,7 +185,13 @@ def main():
         st = run100(wtp.state, wtp.masks)
         p_sum = float(jnp.sum(st.dens, dtype=jnp.float32))
         p_max = float(jnp.max(st.dens))
-        sum_ok = abs(p_sum - 14125.1) / 14125.1 <= 0.01
+        # +-1.5% on the sum (ADVICE r4): our rbgs anchor measures 14022.9 =
+        # 0.72% below the reference's sequential-GS print, so a 1% band left
+        # only 0.28% of headroom for legitimate drift (e.g. an XLA
+        # reduction-order change); 1.5% keeps ~2x margin while still
+        # catching real numerics breaks (solver regressions move the sum
+        # by >>2%: dropping one projection shifts it ~8%)
+        sum_ok = abs(p_sum - 14125.1) / 14125.1 <= 0.015
         max_ok = abs(p_max - 0.0505) / 0.0505 <= 0.02
         parity_ok = bool(sum_ok and max_ok)
         configs["parity_compat_100step"] = {
@@ -224,8 +237,12 @@ def main():
            SimParams(width=256, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"), reps=2, n=4)
     # masked-stream route at the biggest grid: guards the advect routing
-    # (_advect_prefer_t) and the masked z-streaming kernels driver-visibly
-    huge_sphere = add_sphere(empty_obstacles(256, 256, 256), cx=85, cy=128,
+    # (_advect_prefer_t) and the masked z-streaming kernels driver-visibly.
+    # Sphere leading edge at x=8 (cx=48, r=40): the n=4 timed steps must
+    # produce final stats that DIFFER from the empty twin (VERDICT r4 #3 —
+    # at the old cx=85 the flow never reached the solid in 4 steps and the
+    # two configs were bitwise-identical, hiding masked-kernel numerics)
+    huge_sphere = add_sphere(empty_obstacles(256, 256, 256), cx=48, cy=128,
                              cz=128, radius=40)
     record("obstacle_256x256x256",
            SimParams(width=256, height=256, depth=256, div_stats=False,
@@ -236,13 +253,36 @@ def main():
                      step_stats=False, mode="split"), reps=2, n=3)
     # wide-row masked gate guard: this configuration compile-OOM'd scoped
     # VMEM until _pick_blk charged keep configs on >2-lane-tile rows
-    # honestly (linsolve_stream.py) — keep it driver-visible
-    wide_sphere = add_sphere(empty_obstacles(512, 256, 256), cx=170,
+    # honestly (linsolve_stream.py) — keep it driver-visible. Sphere just
+    # downstream of the inlet for the same reason as above (n=3 steps).
+    wide_sphere = add_sphere(empty_obstacles(512, 256, 256), cx=48,
                              cy=128, cz=128, radius=40)
     record("obstacle_512x256x256",
            SimParams(width=512, height=256, depth=256, div_stats=False,
                      step_stats=False, mode="split"),
            obstacles=np.asarray(wide_sphere), reps=2, n=3)
+
+    # numeric obstacle-sensitivity guard (VERDICT r4 #3): every obstacle
+    # config's final density sum must differ from its empty twin — the two
+    # pipelines are identical except for the masked kernels, so equal sums
+    # mean the timed steps never numerically engaged the solid and a
+    # masked-kernel numerics regression would be invisible. Unrounded sums.
+    obstacle_blind = []
+    for ob, em in (("obstacle_sphere", "flagship_split"),
+                   ("obstacle_256x128x128", "grid_256x128x128"),
+                   ("obstacle_256x256x256", "grid_256x256x256"),
+                   ("obstacle_512x256x256", "grid_512x256x256")):
+        if ob in raw_sums and em in raw_sums and raw_sums[ob] == raw_sums[em]:
+            obstacle_blind.append(ob)
+    if obstacle_blind:
+        for name in obstacle_blind:
+            print(f"# {name}: OBSTACLE-BLIND (density_sum identical to its "
+                  f"empty twin)", file=sys.stderr, flush=True)
+        configs["obstacle_blind"] = obstacle_blind
+        print(json.dumps({"metric": "obstacle_blind", "value": 0.0,
+                          "unit": "cell-updates/s", "vs_baseline": 0.0,
+                          "configs": configs}))
+        return 1
 
     # BASELINE config 4: 8 geometries, one program, auto-routed
     try:

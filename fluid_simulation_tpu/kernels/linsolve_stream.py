@@ -1,6 +1,7 @@
 """Packed-interior z-streaming RBGS solve (Pallas TPU) for >VMEM grids.
 
-The padded-layout streaming kernels (linsolve_blocked/_temporal) are
+The padded-layout streaming kernels (tools/linsolve_blocked.py (retired)
+and linsolve_temporal) are
 VPU-bound, not HBM-bound: a 130-lane padded row tiles to 256 lanes (2x
 waste at 256x128x128; 384 for 258 at 256^3), and the measured 115 ns/cell-
 sweep sits ~3x above the HBM floor. This kernel streams the *interior* of
@@ -20,12 +21,12 @@ emits the new pre-keep field. Sweep 1 — the only sweep that must honour
 the caller's arbitrary padded ghost faces — runs a dedicated kernel
 (make_sweep1_packed_call) that streams PADDED field windows in and emits
 the packed pre-keep field fpre_1 directly (same numerics as
-linsolve_blocked's sweep; the padded output write and the separate interior
+tools/linsolve_blocked.py's sweep; the padded output write and the separate interior
 slice of the former pre-solve both disappear — tools/exp_fixed.py).
 
 Cross-block z halo: the field enters as three clamped z-block windows and
 the red half is recomputed one row outside the block (the black half of
-edge rows needs red-updated neighbors), as in linsolve_blocked. Numerics
+edge rows needs red-updated neighbors), as in tools/linsolve_blocked.py. Numerics
 are identical to the rbgs oracle and every other solve kernel: same update
 expression and operand order, red (1-based coord sum even) before black,
 faces-then-keep per sweep (reference linearSolver + setBounds,
@@ -240,7 +241,7 @@ def _make_sweep1_kernel(b: int, a: float, c: float, shape, blk: int, dtype):
     """Sweep-1 kernel: PADDED field windows in (the only sweep that must
     honour the caller's true ghost faces), packed rhs windows in, PACKED
     pre-keep result out. The update expression, operand order and red/black
-    phasing match linsolve_blocked exactly; no face writes and no keep —
+    phasing match tools/linsolve_blocked.py exactly; no face writes and no keep —
     the output is the pre-keep interior the packed sweeps carry
     (simulation.cpp:251-273 sweep 1)."""
     D2, H2, W2 = shape
@@ -291,7 +292,7 @@ def make_sweep1_packed_call(b, a, c, wall_mode, shape, dtype, blk,
                             interpret):
     """Build the sweep-1 pallas_call: ``call(f, f, f, rp, rp, rp)`` maps the
     PADDED field (true ghosts) + packed rhs to the packed pre-keep field
-    after one sweep. Replaces linsolve_blocked(acc=1) + the fpre interior
+    after one sweep. Replaces the retired blocked kernel(acc=1) + the fpre interior
     slice: the padded output write (1.5x lane-tile bytes) and the separate
     XLA slice pass both disappear (~0.9 ms of the 2.3 ms per-solve fixed
     cost at 256^3 — tools/exp_fixed.py). ``wall_mode`` is unused (no face

@@ -1,6 +1,6 @@
 """Temporally-blocked z-streaming RBGS solve (Pallas TPU) for >VMEM grids.
 
-The 1-sweep streaming kernel (kernels/linsolve_blocked.py) moves ~8 field
+A 1-sweep padded streaming kernel (tools/linsolve_blocked.py, retired) moves ~8 field
 transfers of HBM per sweep; a 15-sweep solve at 256^3 is ~12 GB of traffic
 and the step is HBM-bound. This kernel performs ``ksw`` full sweeps per
 streaming pass with *recompute overlap* (trapezoidal time tiling): each

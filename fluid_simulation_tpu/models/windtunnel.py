@@ -148,7 +148,7 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
     # phase cost of the concat tail does not transfer — XLA already
     # pipelines it with neighboring kernels. Kept tested as an opt-in
     # experiment; zero gain does not buy Mosaic-combination risk (same
-    # policy as _prestep_applicable/_diffuse3_applicable).
+    # policy as _diffuse3_applicable and the retired prestep kernel).
     # fallback (grids beyond the kernel's VMEM gate): build each padded
     # field as nested concats — one fused pass per field — instead of the
     # zeros.at[].set + set_bounds chain (XLA materialises a full-array copy
@@ -177,28 +177,6 @@ def _pad_bounds_tail(smp, bs, masks, p: SimParams):
     return tuple(outs)
 
 
-def _prestep_applicable(p: SimParams, vx) -> bool:
-    """The fused prestep kernel (kernels/prestep_pallas.py) is DISABLED in
-    the production dispatch; ``pallas_prestep`` stays available (and tested)
-    as an opt-in experiment. Two process-isolated on-chip measurements
-    retired it (tools/exp_obstacle_bisect.py, one variant per process):
-
-    - It faults Mosaic when combined with the lane-lerp split advection in
-      one scanned program (obstacle_sphere: UNAVAILABLE at the first n=50
-      scan; prestep+fused-advect and noprestep+lane-advect both run clean,
-      so the fault is the combination, not either kernel).
-    - It now LOSES even where it once won: with the masked fused projection
-      handling the post-diffusion solve, sphere-scene steps measure
-      1.038 ms/step without the prestep vs 1.185 with it (the original
-      2.18 -> 1.26 win predated the masked projection + epilogue kernels).
-
-    Empty scenes were already excluded (tools/exp_prestep_ab.py: 1.128 ->
-    1.217 ms regression — the monolithic kernel pipelines worse across scan
-    iterations than the separate resident solve + fused projection).
-    """
-    return False
-
-
 def _diffuse3_applicable(p: SimParams) -> bool:
     """The fused 3-field diffusion kernel (pallas_rbgs_solve3) is DISABLED
     in the production dispatch: process-isolated on-chip A/B at the flagship
@@ -208,8 +186,8 @@ def _diffuse3_applicable(p: SimParams) -> bool:
     amortize (~35 us/solve in exp_overhead.py's back-to-back scan) is
     already hidden by cross-kernel pipelining inside the real heterogeneous
     step. Kept tested and available as an opt-in experiment; fusing kernels
-    for zero gain only buys Mosaic-combination risk (see
-    _prestep_applicable)."""
+    for zero gain only buys Mosaic-combination risk (the same fault family
+    that retired the prestep kernel, tools/prestep_pallas.py)."""
     return False
 
 
@@ -322,20 +300,14 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     pvx, pvy, pvz = vx, vy, vz   # pre-diffusion save (simulation.cpp:107-110)
 
     vel_diff = p.visc if p.use_visc_for_velocity else p.diff  # compat: diff
-    if _prestep_applicable(p, vx):
-        # fused diffuse(1..3)+project (kernels/prestep_pallas.py) — one
-        # kernel call instead of four; bit-identical to the chain below
-        from fluid_simulation_tpu.kernels.prestep_pallas import pallas_prestep
-        from fluid_simulation_tpu.ops.linsolve import diffusion_coeffs
-        a, c = diffusion_coeffs(p.width, p.height, p.depth, p.dt, vel_diff)
-        fl = None if p.empty_scene else masks.fluid_i
-        kv = None if p.empty_scene else masks.keep_vel[1:-1, 1:-1, 1:-1]
-        vx, vy, vz = pallas_prestep(vx, vy, vz, fl, kv, float(a), float(c),
-                                    acc=p.acc, wall_mode=p.wall_mode)
-    else:
-        vx, vy, vz = _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz,
-                                           masks, p, vel_diff, kw)
-        vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
+    # (The fused diffuse(1..3)+project "prestep" kernel was RETIRED out of
+    # the package to tools/prestep_pallas.py: it faults Mosaic when combined
+    # with the lane-lerp split advection in one scanned program, and loses
+    # 1.185 vs 1.038 ms/step to this chain on the v5e sphere scene —
+    # NOTES.md "Retired: fused prestep kernel", tools/exp_obstacle_bisect.py.)
+    vx, vy, vz = _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz,
+                                       masks, p, vel_diff, kw)
+    vx, vy, vz = _project_dispatch(vx, vy, vz, masks, p)
 
     if p.mode == "compat":
         # Sequential component advection (simulation.cpp:125-127): each later

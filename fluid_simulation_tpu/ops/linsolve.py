@@ -104,13 +104,11 @@ def linear_solver(
             return pallas_rbgs_solve_temporal(
                 b, f, prev, keep, float(a), float(c), acc=acc,
                 wall_mode=wall_mode, empty_scene=empty_scene)
-        from fluid_simulation_tpu.kernels.linsolve_blocked import (
-            pallas_blocked_solve_supported, pallas_rbgs_solve_blocked)
-        if pallas_blocked_solve_supported(f.shape, f.dtype):
-            # grid too large for the VMEM-resident kernel: stream z-slabs
-            return pallas_rbgs_solve_blocked(
-                b, f, prev, keep, float(a), float(c), acc=acc,
-                wall_mode=wall_mode, empty_scene=empty_scene)
+        # No further kernel rung: the retired padded z-blocked kernel
+        # (tools/linsolve_blocked.py) was shadowed by the stream/temporal
+        # gates for every supported shape (coverage asserted in
+        # tests/test_kernels.py::test_solve_dispatch_gates); shapes none of
+        # the kernels admit fall through to the XLA path below.
     dtype = f.dtype
     a = jnp.asarray(a, dtype)
     c_recip = jnp.asarray(np.float32(1.0) / np.float32(c), dtype)

@@ -2,6 +2,11 @@
 run without a TPU pod (SURVEY.md §4d). Must run before jax imports."""
 
 import os
+import sys
+
+# repo root on sys.path regardless of pytest's invocation dir: tests import
+# retired-experiment kernels from tools/ (namespace package)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # hard-set (not setdefault): the harness exports JAX_PLATFORMS=axon, and the
 # suite must run on CPU with virtual devices (SURVEY.md §4d)

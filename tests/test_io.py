@@ -91,6 +91,97 @@ def test_checkpoint_retention(tmp_path):
     assert latest_checkpoint(ck).endswith("ckpt_00000004.npz")
 
 
+def _ref_gui_load(data_dir, name, width, height, depth):
+    """The 2-D viewer's literal load semantics, lifted GUI-free from
+    gui.py:215-242: np.fromfile(float32), assert the float count is a whole
+    number of frames, reshape (-1, depth, height, width). ``width/height/
+    depth`` are the PADDED dims (gui.py:32-34 hardcodes interior+2)."""
+    path = os.path.join(data_dir, name)
+    with open(path, "rb") as f:
+        arr = np.fromfile(f, dtype=np.float32)
+    frame_elems = width * height * depth
+    assert arr.size % frame_elems == 0, f"bad size in {name}"
+    return arr.reshape(-1, depth, height, width)
+
+
+def _ref_main_window_load_last(data_dir, name, width, height, depth):
+    """The 3-D viewer's literal last-frame load, lifted GUI-free from
+    GUI/main_window.py:149-182: seek EOF, whole-frame check (ValueError on a
+    partial frame), seek(-frame, END), fromfile(count=frame_elems), reshape
+    (depth, height, width). Padded dims per GUI/config.py:8-11."""
+    path = os.path.join(data_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Data file not found: {path}")
+    frame_elems = width * height * depth
+    bytes_per_frame = frame_elems * 4
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        file_size = f.tell()
+        n_frames = file_size // bytes_per_frame
+        if file_size % bytes_per_frame != 0:
+            raise ValueError(f"Invalid file size in {name}: {file_size} bytes")
+        f.seek(-bytes_per_frame, os.SEEK_END)
+        data = np.fromfile(f, dtype=np.float32, count=frame_elems)
+    return data.reshape(depth, height, width), n_frames
+
+
+def _ref_make_pngs_load(data_dir, name, width, height):
+    """The legacy exporter's load, lifted from make_pngs.py:30-45:
+    fromfile + reshape(-1, height, width) — a stack of 2-D slices. Against
+    the 3-D dump (with the CORRECT padded width/height, unlike the stale
+    hardcoded 514x258) every frame contributes depth+2 consecutive z-slices
+    in file order; the script's per-index imshow then renders z-slices."""
+    with open(os.path.join(data_dir, name), "rb") as f:
+        arr = np.fromfile(f, dtype=np.float32)
+    return arr.reshape(-1, height, width)
+
+
+def test_reference_viewer_loaders_read_our_dump(tmp_path):
+    """VERDICT r4 #4: execute the reference viewers' own load paths
+    (lifted line-for-line, minus Qt) against a real run_and_dump output.
+    The '.bin contract' claim is thereby backed by the reference's literal
+    fromfile/seek/reshape code reading our bytes, not only by our reader."""
+    d = str(tmp_path / "data")
+    wt = WindTunnel(P)
+    final = run_and_dump(wt, steps=4, out_dir=d, chunk=2)
+    D2, H2, W2 = P.padded_shape  # (depth+2, height+2, width+2)
+
+    ours = read_run(d)
+    # gui.py loader: all frames, all five files (gui.py:215-242)
+    for key, fn in FIELD_FILES:
+        got = _ref_gui_load(d, fn, W2, H2, D2)
+        assert got.shape == (4, D2, H2, W2)
+        np.testing.assert_array_equal(got, ours[key])
+    np.testing.assert_array_equal(
+        _ref_gui_load(d, "data.bin", W2, H2, D2)[-1], np.asarray(final.dens))
+
+    # GUI/main_window.py loader: last frame only, via EOF seek (:149-182)
+    for key, fn in FIELD_FILES:
+        last, n_frames = _ref_main_window_load_last(d, fn, W2, H2, D2)
+        assert n_frames == 4
+        np.testing.assert_array_equal(last, ours[key][-1])
+
+    # make_pngs.py loader (:30-45): z-slice stack in file order
+    flat = _ref_make_pngs_load(d, "data.bin", W2, H2)
+    assert flat.shape == (4 * D2, H2, W2)
+    np.testing.assert_array_equal(flat.reshape(4, D2, H2, W2), ours["dens"])
+
+    # partial-frame detection, both loaders' own idioms: truncate the file
+    # mid-frame and the size checks must trip (gui.py:229 assert;
+    # GUI/main_window.py:166-167 ValueError)
+    import pytest
+    vx_path = os.path.join(d, "v_x.bin")
+    with open(vx_path, "r+b") as f:
+        f.truncate(os.path.getsize(vx_path) - 12)
+    with pytest.raises(AssertionError):
+        _ref_gui_load(d, "v_x.bin", W2, H2, D2)
+    with pytest.raises(ValueError):
+        _ref_main_window_load_last(d, "v_x.bin", W2, H2, D2)
+    # missing file: FileNotFoundError like GUI/main_window.py:157-158
+    with pytest.raises(FileNotFoundError):
+        _ref_main_window_load_last(d, "nope.bin", W2, H2, D2)
+
+
 def test_nan_watchdog(tmp_path):
     # the failure detector the reference lacks (SURVEY.md §5): divergence
     # triggers an emergency checkpoint and a loud error

@@ -120,10 +120,10 @@ def test_fused_projection_matches_composable():
 
 
 def test_blocked_solve_matches_oracle():
-    """z-blocked streaming solver (kernels/linsolve_blocked.py) == rbgs
+    """z-blocked streaming solver (tools/linsolve_blocked.py, retired) == rbgs
     oracle, including a z-block size that does not divide D+2 and both a
     solids scene and the empty fast path."""
-    from fluid_simulation_tpu.kernels import linsolve_blocked as lb
+    from tools import linsolve_blocked as lb
 
     f, g, masks = _setup()
     for b in (0, 2):
@@ -138,7 +138,7 @@ def test_bfloat16_kernels_match_oracle():
     """VERDICT r1 weak#6: bf16 accepted by the Pallas solve/project kernels.
     Interpret mode == the jnp oracle in bf16 (same expressions, same order);
     the supported() gates account for bf16 (16,128) tiling."""
-    from fluid_simulation_tpu.kernels import linsolve_blocked as lb
+    from tools import linsolve_blocked as lb
     from fluid_simulation_tpu.kernels.project_pallas import pallas_project_empty
     from fluid_simulation_tpu.ops.project import project
 
@@ -176,7 +176,7 @@ def test_bfloat16_kernels_match_oracle():
 def test_blocked_solve_block_sizes():
     """Every halo interaction: block sizes from 1 row to whole-grid, empty
     scene, noslip, z-ghost straddling block edges."""
-    from fluid_simulation_tpu.kernels import linsolve_blocked as lb
+    from tools import linsolve_blocked as lb
     from fluid_simulation_tpu.scene.primitives import empty_obstacles
 
     masks = build_masks(jnp.asarray(empty_obstacles(W, H, D)))
@@ -450,6 +450,44 @@ def test_solve_dispatch_gates():
     assert not pallas_solve_supported(flagship)
     assert not pallas_stream_solve_supported(big)
 
+    # VERDICT r4 #7: the padded z-blocked kernel's dispatch rung was deleted
+    # (kernel demoted to tools/linsolve_blocked.py). Its gate must be fully
+    # shadowed: every shape/dtype/keep config the blocked byte model admits
+    # must be admitted by the resident, stream, or temporal model too
+    # (all models are backend-independent; the backend check is shared).
+    import itertools
+    from fluid_simulation_tpu.kernels.linsolve_pallas import (
+        VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes)
+    from fluid_simulation_tpu.kernels.linsolve_temporal import pick_params
+
+    def blocked_admits(shape, dtype):
+        # shape logic of tools/linsolve_blocked.pallas_blocked_solve_supported
+        it = _itemsize(dtype)
+        return (len(shape) == 3 and min(shape) >= 4
+                and _tiled_bytes((3,) + tuple(shape[1:]), it) * 24
+                <= VMEM_BUDGET_BYTES)
+
+    def resident_admits(shape, dtype):
+        it = _itemsize(dtype)
+        need = (4 * _tiled_bytes(shape, it)
+                + 5 * _tiled_bytes(tuple(n - 2 for n in shape), it))
+        return min(shape) >= 4 and need <= VMEM_BUDGET_BYTES
+
+    dims = (4, 6, 10, 18, 34, 66, 130, 258, 514)
+    uncovered = []
+    for shape in itertools.product(dims, dims, dims):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            for keep in (False, True):
+                if not blocked_admits(shape, dtype):
+                    continue
+                ok = (resident_admits(shape, dtype)
+                      or (min(shape) >= 6
+                          and _pick_blk(shape, dtype, keep) is not None)
+                      or pick_params(shape, dtype, keep) is not None)
+                if not ok:
+                    uncovered.append((shape, str(dtype), keep))
+    assert not uncovered, f"blocked-only shapes exist: {uncovered[:5]}"
+
 
 def test_cpack_solve_matches_packed_interpret():
     """Color-packed (x-checkerboard) solve == packed resident kernel:
@@ -538,7 +576,7 @@ def test_prestep_fused_matches_chain_interpret():
     """diffuse(1..3)+project in one kernel == the composable chain
     (bitwise; ~1 ulp interpret-FMA noise on empty scenes)."""
     import jax.numpy as jnp
-    from fluid_simulation_tpu.kernels.prestep_pallas import pallas_prestep
+    from tools.prestep_pallas import pallas_prestep
     from fluid_simulation_tpu.ops.linsolve import diffuse, diffusion_coeffs
     from fluid_simulation_tpu.ops.project import project
     from fluid_simulation_tpu.scene.masks import build_masks

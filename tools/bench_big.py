@@ -2,7 +2,7 @@
 """Large-grid step timing on the real TPU (VERDICT r1 missing#1).
 
 Round-1 status: 256^3 ran only via XLA fallbacks at 8.8 s/step. Round 2 adds
-the z-blocked streaming solver (kernels/linsolve_blocked.py) and the n-window
+the z-blocked streaming solver (now tools/linsolve_blocked.py) and the n-window
 lane gather (kernels/advect_pallas.py); this measures the result. Slope
 timing over two scan lengths cancels the per-dispatch tunnel overhead.
 

@@ -18,7 +18,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from fluid_simulation_tpu.kernels.linsolve_blocked import (
+    from tools.linsolve_blocked import (
         pallas_rbgs_solve_blocked)
     from fluid_simulation_tpu.kernels.linsolve_stream import (
         pallas_rbgs_solve_stream, pallas_rbgs_solve_stream_t)

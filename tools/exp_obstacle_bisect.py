@@ -42,11 +42,11 @@ def main(variant):
         ap.advect_split_auto = lambda prev, vx, vy, vz, dt_, use_pallas=True: (
             orig_jnp(prev, vx, vy, vz, float(dt_)))
     elif variant == "obstacle-noprestep":
-        wtm._prestep_applicable = lambda p, v: False
+        pass  # r5: the prestep gate is gone (kernel retired to tools/);
+        # this variant is now identical to stock
     elif variant == "obstacle-nomask":
         import fluid_simulation_tpu.kernels.project_pallas as pp
         pp.pallas_project_masked_supported = lambda *a, **k: False
-        wtm._prestep_applicable = lambda p, v: False
 
     np.asarray(jax.jit(lambda: jnp.zeros((8, 128)))())
     print("warmup ok", flush=True)

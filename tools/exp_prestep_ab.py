@@ -1,6 +1,10 @@
 #!/usr/bin/env python3
-"""A/B the fused prestep kernel per scene type (it regressed the empty
-flagship 0.97 -> 1.12 ms while the sphere scene went 2.18 -> 1.26)."""
+"""HISTORICAL (round 2-3): A/B of the fused prestep kernel per scene type
+(it regressed the empty flagship 0.97 -> 1.12 ms while the sphere scene went
+2.18 -> 1.26). NOT RUNNABLE since round 5: the kernel was retired to
+tools/prestep_pallas.py and the ``_prestep_applicable`` gate it patches was
+deleted from models/windtunnel.py (VERDICT r4 #7). Kept as the measurement
+record."""
 import sys, time
 import numpy as np
 

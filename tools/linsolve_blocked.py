@@ -1,5 +1,14 @@
 """z-blocked red-black Gauss-Seidel sweep (Pallas TPU) for >VMEM grids.
 
+RETIRED EXPERIMENT (round 5, VERDICT r4 #7): this padded-layout streaming
+kernel was the round-2 bottom rung of the solve ladder, but the packed
+stream/temporal kernels (kernels/linsolve_stream.py, linsolve_temporal.py)
+admit every shape this gate admits (coverage asserted in
+tests/test_kernels.py::test_solve_dispatch_gates) and beat it ~3x, so the
+dispatch rung was deleted and the kernel demoted out of the package. It
+stays here, tested (tests/test_kernels.py blocked-solve tests), as the
+reference implementation of 3-window z-halo streaming.
+
 The VMEM-resident solver (kernels/linsolve_pallas.py) needs the whole padded
 field (plus rhs/keep) on chip; at 256^3 one tiled field is ~104 MB, so large
 grids fell back to pure-XLA sweeps (VERDICT r1 missing#1). This kernel streams

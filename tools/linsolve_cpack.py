@@ -510,7 +510,7 @@ def pallas_rbgs_solve_cpack_stream(b: int, field, prev, keep, a: float,
     """Streaming color-packed solve for >VMEM grids (the 256^3 wall:
     half-width rows make the x shifts single-tile and halve per-sweep VPU
     work — NOTES.md r3). Drop-in equivalent of pallas_rbgs_solve_stream."""
-    from fluid_simulation_tpu.kernels.linsolve_blocked import (
+    from tools.linsolve_blocked import (
         pallas_rbgs_solve_blocked)
     shape = field.shape
     dtype = field.dtype

@@ -1,6 +1,16 @@
 """Fused pre-advection phase: 3 velocity diffusions + first projection in
 ONE kernel (Pallas TPU).
 
+RETIRED EXPERIMENT (round 3; moved out of the package in round 5, VERDICT
+r4 #7): two process-isolated on-chip measurements retired it
+(tools/exp_obstacle_bisect.py, one variant per process) — it faults Mosaic
+when combined with the lane-lerp split advection in one scanned program
+(UNAVAILABLE at the first n=50 scan; either kernel alone is clean), and it
+loses 1.185 vs 1.038 ms/step to the resident-solve + masked-fused-projection
+chain on the v5e sphere scene. Kept here, tested
+(tests/test_kernels.py::test_prestep_fused_matches_chain_interpret), as the
+record of the fused-prestep design.
+
 The flagship step pays a ~35 us fixed cost per resident solve call (VMEM
 in/out DMA + grid setup — tools/exp_overhead.py) and writes/rereads the
 three velocity fields between the diffusion stage and the projection. This

@@ -36,7 +36,8 @@ import sys
 #     _advect_prefer_t)
 #   - 256^3: temporally-blocked (ksw=2) stream solve; sphere keeps the
 #     t-pass advect (>=8M cells)
-#   - 512x256x256: wide-row stream gates (empty blk=8; sphere keep blk=4)
+#   - 512x256x256: wide-row stream gates (r4 hb=2 + int8-keep model:
+#     empty blk=16, sphere keep blk=8 — test_solve_dispatch_gates)
 #   - noslip_vort: fused vorticity-confinement kernel
 #   - batched: SimParams.batched streamed-kernel dispatch (design sweeps)
 #   - compat: one-gather XLA advection path
