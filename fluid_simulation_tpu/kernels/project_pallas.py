@@ -248,6 +248,12 @@ def _make_project_masked_kernel(acc: int, wall_mode: str, shape, dtype):
         crec = jnp.asarray(c_recip, dtype)
 
         def half(take_red):
+            """One half-sweep's pre-keep update value (writes handled by the
+            caller: the black half fuses the sweep-end snapshot + keep
+            multiply into its own write — bitwise-identical to the former
+            separate ``fpre[...] = pp[...]; pp[...] *= fl`` passes, which
+            cost two full-interior VMEM round trips per sweep (30 per
+            projection; round-5 masked-flagship trace)."""
             f = pp[...]
             pre = fpre[...]
             nxp = jnp.where(ix == W - 1, pre, _roll(f, W - 1, 2))
@@ -259,13 +265,13 @@ def _make_project_masked_kernel(acc: int, wall_mode: str, shape, dtype):
             s = (((nxp + nxm) + nyp) + nym + nzp) + nzm
             upd = (dp[...] + s) * crec
             sel = red if take_red else jnp.logical_not(red)
-            pp[...] = jnp.where(sel, upd, f)
+            return jnp.where(sel, upd, f)
 
         def sweep(i, _):
-            half(True)
-            half(False)
-            fpre[...] = pp[...]
-            pp[...] = pp[...] * fl
+            pp[...] = half(True)
+            newf = half(False)          # the sweep's pre-keep field
+            fpre[...] = newf
+            pp[...] = newf * fl
             return 0
 
         jax.lax.fori_loop(0, acc, sweep, 0)

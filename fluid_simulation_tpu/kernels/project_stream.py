@@ -51,6 +51,8 @@ from fluid_simulation_tpu.kernels.linsolve_pallas import (
 from fluid_simulation_tpu.kernels.linsolve_stream import (
     make_packed_sweep_call, make_packed_sweep_call_t,
     pallas_stream_solve_supported, temporal_stream_preferred)
+from fluid_simulation_tpu.kernels.linsolve_mdma import (
+    mdma_params, merged_sweep_chain)
 from fluid_simulation_tpu.ops.project import grid_h
 
 BLK = 16   # preferred z-block of the div/grad kernels
@@ -163,11 +165,12 @@ def _grad_kernel_maker(shape, blk, hb, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("acc", "wall_mode", "interpret",
-                                             "blk"))
+                                             "blk", "batched"))
 def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
                                  wall_mode: str = "reference",
                                  interpret: bool = False,
-                                 blk: int | None = None):
+                                 blk: int | None = None,
+                                 batched: bool = False):
     """Projection for >VMEM empty scenes; returns the *packed* projected
     velocities ``(3, D, H, W)`` — the caller applies the pad+bounds tail.
     Bitwise-equal to ``ops.project.project(..., empty_scene=True)``'s
@@ -217,13 +220,22 @@ def pallas_project_stream_packed(vx, vy, vz, acc: int = 15,
         **kwargs,
     )(vx, vx, vy, vy, vz, vz)
 
-    # ---- stage 2: Poisson, all sweeps packed (p == 0 before sweep 1);
-    # 2 sweeps per HBM pass on 256^3-class grids (temporal kernel, measured
-    # 620 vs 837 us/sweep — linsolve_stream.temporal_stream_preferred)
+    # ---- stage 2: Poisson, all sweeps packed (p == 0 before sweep 1).
+    # Kernel ladder: merged-window manual-DMA passes (one async-copy per
+    # operand per grid step + copy-elided first halfsweep: 470 vs 486
+    # us/sweep at 256^3, tools/exp_mdma.py) -> temporal BlockSpec kernel
+    # (2 sweeps/pass, 620 vs 837 us/sweep) -> 1-sweep packed kernel.
     fpre = jnp.zeros(interior, dtype)
-    tp = temporal_stream_preferred(shape, dtype, apply_keep=False)
+    mdp = (mdma_params(shape, dtype, apply_keep=False) if interpret else
+           mdma_preferred(shape, dtype, apply_keep=False, batched=batched))
     nsw_left = acc
-    if tp is not None and acc >= 2:
+    if mdp is not None and acc >= 2:
+        fpre = merged_sweep_chain(0, fpre, rp, None, 1.0, 6.0, acc,
+                                  wall_mode, interior, dtype, False,
+                                  mdp[0], mdp[1], interpret)
+        nsw_left = 0
+    tp = temporal_stream_preferred(shape, dtype, apply_keep=False)
+    if nsw_left and tp is not None and acc >= 2:
         blk_t, ksw_t = tp
         npass, nsw_left = divmod(acc, ksw_t)
         call_t = make_packed_sweep_call_t(0, 1.0, 6.0, wall_mode, interior,
@@ -426,11 +438,12 @@ def _grad_masked_kernel_maker(shape, blk, hb, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("acc", "wall_mode", "interpret",
-                                              "blk"))
+                                              "blk", "batched"))
 def pallas_project_stream_masked(vx, vy, vz, fluid_i, acc: int = 15,
                                  wall_mode: str = "reference",
                                  interpret: bool = False,
-                                 blk: int | None = None):
+                                 blk: int | None = None,
+                                 batched: bool = False):
     """Obstacle-scene projection for >VMEM grids; returns the *packed*
     projected velocities ``(3, D, H, W)`` — the caller applies the masked
     pad+bounds tail. Bitwise-equal to ``ops.project.project(...,
@@ -504,11 +517,19 @@ def pallas_project_stream_masked(vx, vy, vz, fluid_i, acc: int = 15,
     )(vx, vx, vy, vy, vz, vz, kp, kp, kp)
 
     # ---- stage 2: Poisson with the scalar keep (== fluid, masks.py:83);
-    # p == 0 before sweep 1 so every sweep runs packed, as in the empty path
+    # p == 0 before sweep 1 so every sweep runs packed, as in the empty
+    # path (same merged -> temporal -> 1-sweep ladder; kp streams int8)
     fpre = jnp.zeros(interior, dtype)
-    tp = temporal_stream_preferred(shape, dtype, apply_keep=True)
+    mdp = (mdma_params(shape, dtype, apply_keep=True) if interpret else
+           mdma_preferred(shape, dtype, apply_keep=True, batched=batched))
     nsw_left = acc
-    if tp is not None and acc >= 2:
+    if mdp is not None and acc >= 2:
+        fpre = merged_sweep_chain(0, fpre, rp, kp, 1.0, 6.0, acc,
+                                  wall_mode, interior, dtype, True,
+                                  mdp[0], mdp[1], interpret)
+        nsw_left = 0
+    tp = temporal_stream_preferred(shape, dtype, apply_keep=True)
+    if nsw_left and tp is not None and acc >= 2:
         blk_t, ksw_t = tp
         npass, nsw_left = divmod(acc, ksw_t)
         call_t = make_packed_sweep_call_t(0, 1.0, 6.0, wall_mode, interior,

@@ -36,8 +36,16 @@ def batch_masks(obstacle_list: Sequence[np.ndarray]):
 # 524,288-cell flagship the vmapped batch runs 0.78x of 8 sequential runs
 # (vmapped Pallas grids + non-fused batch layouts), while at small grids the
 # single batched program wins on amortized dispatch. Sizes at/above this
-# threshold take the sequential lax.map route.
+# threshold take a sequential route.
 SWEEP_VMAP_MAX_CELLS = 256 * 1024
+
+# The Python-unrolled sequential route compiles O(B) (~12 s per geometry per
+# program length at the flagship on the axon remote compiler: 193 s for B=8
+# at two lengths, r4) and runs ~1.18x the lax.map route (905 vs 770
+# geometry-steps/s at B=8). Past this batch size the compile bill outweighs
+# the throughput edge for any realistic step count and 'auto' switches to
+# 'map' (O(1) compile, z-streamed batched=True kernels).
+SWEEP_UNROLL_MAX_B = 8
 
 
 @functools.partial(jax.jit, static_argnames=("params", "steps", "route"))
@@ -58,20 +66,42 @@ def design_sweep(batched_masks, params: SimParams, steps: int,
       and *statically* indexed masks, so every Pallas kernel runs in its
       exact single-geometry production form (resident solves, masked fused
       projection). This is literally "B isolated runs in one program":
-      zero per-step batching overhead. Wins when a single geometry already
-      saturates the chip.
-    - ``'auto'`` (default): sequential at/above ``SWEEP_VMAP_MAX_CELLS``
-      interior cells, vmap below.
+      zero per-step batching overhead (905 geometry-steps/s at B=8 on one
+      v5e) — but the program and its compile time grow O(B)
+      (~12 s/geometry/length on the remote compiler).
+    - ``'map'``: ``lax.map`` over geometries with the ``batched=True``
+      kernel dispatch (z-streamed solves/projections — the whole-array
+      kernels fault Mosaic under nested lax.map scans, NOTES.md r3
+      "design sweeps broke"). O(1) compile at ~0.85x the unrolled route's
+      throughput: the large-B workhorse.
+    - ``'auto'`` (default): vmap below ``SWEEP_VMAP_MAX_CELLS`` interior
+      cells; otherwise sequential up to ``SWEEP_UNROLL_MAX_B`` geometries,
+      map beyond.
 
-    Both routes run the same ``simulation_step`` on the same inputs; results
+    All routes run the same ``simulation_step`` on the same inputs; results
     are identical (test_sweep.py asserts equality).
     """
-    if route == "auto":
-        route = "vmap" if params.n_cells < SWEEP_VMAP_MAX_CELLS else (
-            "sequential")
-    if route not in ("vmap", "sequential"):
-        raise ValueError(f"unknown sweep route: {route!r}")
     B = jax.tree_util.tree_leaves(batched_masks)[0].shape[0]
+    if route == "auto":
+        route = ("vmap" if params.n_cells < SWEEP_VMAP_MAX_CELLS else
+                 "sequential" if B <= SWEEP_UNROLL_MAX_B else "map")
+    if route not in ("vmap", "sequential", "map"):
+        raise ValueError(f"unknown sweep route: {route!r}")
+
+    if route == "map":
+        mp = params.replace(batched=True)
+
+        def one_geometry(masks_g):
+            def body(st, _):
+                st, stats = simulation_step(st, masks_g, mp)
+                return st, stats
+            return jax.lax.scan(body, init_state(mp), None, length=steps)
+
+        final, stats = jax.lax.map(one_geometry, batched_masks)
+        # per-geometry (B, steps, ...) -> (steps, B, ...) to match vmap
+        stats = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), stats)
+        return final, stats
 
     if route == "sequential":
         # r4: the r3 nested ``lax.map(scan(step))`` program faulted Mosaic

@@ -257,7 +257,8 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
         if pallas_project_stream_supported(vx.shape, vx.dtype):
             # >VMEM grids: z-streamed div -> packed Poisson sweeps -> grad
             smp = pallas_project_stream_packed(vx, vy, vz, acc=p.acc,
-                                               wall_mode=p.wall_mode)
+                                               wall_mode=p.wall_mode,
+                                               batched=p.batched)
             return _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     elif p.use_pallas and p.solver == "rbgs":
         # obstacle scenes: masked fused projection (VERDICT r2 #3),
@@ -279,11 +280,12 @@ def _project_dispatch(vx, vy, vz, masks, p: SimParams):
             # the same set_bounds)
             smp = pallas_project_stream_masked(vx, vy, vz, masks.fluid_i,
                                                acc=p.acc,
-                                               wall_mode=p.wall_mode)
+                                               wall_mode=p.wall_mode,
+                                               batched=p.batched)
             return _pad_bounds_tail(smp, (1, 2, 3), masks, p)
     out = project(vx, vy, vz, masks, acc=p.acc, solver=p.solver,
                   wall_mode=p.wall_mode, use_pallas=p.use_pallas,
-                  empty_scene=p.empty_scene)
+                  empty_scene=p.empty_scene, batched=p.batched)
     return out[0], out[1], out[2]
 
 
@@ -293,7 +295,8 @@ def simulation_step(state: FluidState, masks: SceneMasks,
     """Advance one full time step. Pure; jitted with ``params`` static."""
     p = params
     kw = dict(acc=p.acc, solver=p.solver, wall_mode=p.wall_mode,
-              use_pallas=p.use_pallas, empty_scene=p.empty_scene)
+              use_pallas=p.use_pallas, empty_scene=p.empty_scene,
+              batched=p.batched)
 
     state, buffer = _apply_inlets(state, p)
     vx, vy, vz, dens = state

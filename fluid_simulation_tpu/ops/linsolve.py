@@ -55,9 +55,14 @@ def linear_solver(
     wall_mode: str = "reference",
     use_pallas: bool = False,
     empty_scene: bool = False,
+    batched: bool = False,
 ) -> jnp.ndarray:
     """Run ``acc`` relaxation sweeps of ``f = (prev + a*sum6(f))/c`` with
     boundary conditions re-applied after each sweep (simulation.cpp:271).
+
+    ``batched`` marks a vmapped (design-sweep) caller: the manual-DMA
+    merged-window kernel is skipped there (not vmap-batchable); the
+    BlockSpec kernels all survive vmap.
 
     With ``use_pallas`` (and solver='rbgs' on a TPU backend where the grid
     fits VMEM), dispatches to the fused kernel that keeps the field resident
@@ -74,6 +79,19 @@ def linear_solver(
             return pallas_rbgs_solve(b, f, prev, keep, float(a), float(c),
                                      acc=acc, wall_mode=wall_mode,
                                      empty_scene=empty_scene, packed=True)
+        from fluid_simulation_tpu.kernels.linsolve_mdma import (
+            mdma_preferred, pallas_rbgs_solve_mdma)
+        mdp = mdma_preferred(f.shape, f.dtype, apply_keep=not empty_scene,
+                             batched=batched)
+        if mdp is not None:
+            # merged-window manual-DMA passes, depth 2: one async copy per
+            # operand per grid step + copy-elided first halfsweep — 470 vs
+            # the temporal BlockSpec kernel's 486 us/sweep at 256^3
+            # (tools/exp_mdma.py, bitwise-identical)
+            return pallas_rbgs_solve_mdma(
+                b, f, prev, keep, float(a), float(c), acc=acc,
+                wall_mode=wall_mode, empty_scene=empty_scene,
+                blk=mdp[0], nsw=mdp[1])
         from fluid_simulation_tpu.kernels.linsolve_stream import (
             pallas_rbgs_solve_stream, pallas_rbgs_solve_stream_t,
             pallas_stream_solve_supported, temporal_stream_preferred)
@@ -176,6 +194,7 @@ def diffuse(
     wall_mode: str = "reference",
     use_pallas: bool = False,
     empty_scene: bool = False,
+    batched: bool = False,
 ) -> jnp.ndarray:
     """Diffusion wrapper (simulation.cpp:278-284). Like the reference, the
     caller chooses the coefficient — velocity compat mode passes ``diff``, not
@@ -184,4 +203,4 @@ def diffuse(
     a, c = diffusion_coeffs(W2 - 2, H2 - 2, D2 - 2, dt, diff)
     return linear_solver(b, f, prev, a, c, masks, acc=acc, solver=solver,
                          wall_mode=wall_mode, use_pallas=use_pallas,
-                         empty_scene=empty_scene)
+                         empty_scene=empty_scene, batched=batched)

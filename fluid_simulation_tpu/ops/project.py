@@ -72,6 +72,7 @@ def project(
     wall_mode: str = "reference",
     use_pallas: bool = False,
     empty_scene: bool = False,
+    batched: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Make the velocity field (approximately) divergence-free.
 
@@ -90,7 +91,7 @@ def project(
     p = set_bounds(0, p, masks, wall_mode, empty_scene)
     p = linear_solver(0, p, div, 1.0, 6.0, masks, acc=acc, solver=solver,
                       wall_mode=wall_mode, use_pallas=use_pallas,
-                      empty_scene=empty_scene)
+                      empty_scene=empty_scene, batched=batched)
 
     grad_x = _one_axis_gradient(
         p, masks.nb_xp, masks.nb_xm,

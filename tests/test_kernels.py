@@ -648,6 +648,55 @@ def test_temporal_packed_stream_matches_oracle_interpret():
             err_msg=f"{shape} b={b} empty={empty} blk={blk} ksw={ksw}")
 
 
+def test_mdma_solve_matches_oracle_interpret():
+    """Merged-window manual-DMA solve (kernels/linsolve_mdma.py) == rbgs
+    oracle (bitwise), across nsw depths, remainders, keep configs, wall
+    modes, and edge-block geometries (first/last-block partial DMAs)."""
+    import jax.numpy as jnp
+    from fluid_simulation_tpu.kernels.linsolve_mdma import (
+        mdma_params, pallas_rbgs_solve_mdma)
+    from fluid_simulation_tpu.ops.linsolve import linear_solver
+    from fluid_simulation_tpu.scene.masks import build_masks
+    from fluid_simulation_tpu.scene.primitives import (
+        add_sphere, empty_obstacles)
+
+    rng = np.random.default_rng(3)
+    for (W, H, D), blk, nsw, empty, wall, b, acc in [
+            ((16, 8, 8), 4, 2, False, "reference", 2, 6),
+            ((16, 8, 8), 4, 1, False, "reference", 1, 6),
+            ((16, 8, 8), 2, 1, True, "noslip", 3, 5),
+            ((16, 8, 12), 4, 2, True, "reference", 0, 6),
+            ((16, 8, 12), 6, 3, False, "reference", 0, 7),
+            ((16, 8, 20), 4, 2, False, "reference", 2, 9)]:
+        obs = (empty_obstacles(W, H, D) if empty else
+               add_sphere(empty_obstacles(W, H, D), W // 2, H // 2,
+                          D // 2, 2.4))
+        masks = build_masks(np.asarray(obs, np.float32))
+        shape = (D + 2, H + 2, W + 2)
+        f = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = linear_solver(b, f, g, 0.9, 6.4, masks, acc=acc,
+                            solver="rbgs", wall_mode=wall,
+                            empty_scene=empty)
+        keep = masks.keep_vel if b else masks.keep_scalar
+        got = pallas_rbgs_solve_mdma(
+            b, f, g, keep, 0.9, 6.4, acc=acc, wall_mode=wall,
+            empty_scene=empty, blk=blk, nsw=nsw, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref),
+            err_msg=f"{(W, H, D)} blk={blk} nsw={nsw} empty={empty} "
+                    f"wall={wall} b={b}")
+    # param model: every production big-grid shape gets a config, and the
+    # packed depth divides the block (the edge-DMA contract)
+    for shp in ((258, 130, 130), (130, 130, 258), (258, 258, 258),
+                (258, 258, 514)):
+        for keep_cfg in (False, True):
+            picked = mdma_params(shp, jnp.float32, keep_cfg)
+            assert picked is not None, (shp, keep_cfg)
+            blk, nsw = picked
+            assert (shp[0] - 2) % blk == 0 and blk >= 2 * nsw
+
+
 @pytest.mark.parametrize("bs,wall_mode,masked,blk", [
     ((1, 2, 3), "reference", False, 8),
     ((1, 2, 3), "reference", True, 8),

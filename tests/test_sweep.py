@@ -51,12 +51,19 @@ def test_sweep_routes_agree():
     bm = batch_masks(geoms)
     f_v, s_v = design_sweep(bm, P, steps=3, route="vmap")
     f_s, s_s = design_sweep(bm, P, steps=3, route="sequential")
+    f_m, s_m = design_sweep(bm, P, steps=3, route="map")
     np.testing.assert_allclose(np.asarray(s_v.density_sum),
                                np.asarray(s_s.density_sum), rtol=1e-6)
     for a, b in zip(f_v, f_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # map route == vmap route bitwise: both run the batched=True step
+    np.testing.assert_array_equal(np.asarray(s_m.density_sum),
+                                  np.asarray(s_v.density_sum))
+    assert np.asarray(s_m.density_sum).shape == (3, 3)   # (steps, B)
+    for a, b in zip(f_m, f_v):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     big = SimParams(width=128, height=64, depth=64)
-    assert big.n_cells >= 256 * 1024          # flagship auto-routes sequential
+    assert big.n_cells >= 256 * 1024          # flagship auto-routes off vmap
     assert P.n_cells < 256 * 1024             # test grid auto-routes vmap
 
 
