@@ -807,14 +807,14 @@ def advect_split_auto(prev, vx, vy, vz, dt_, use_pallas=True, prefer_t=True):
     HBM traffic it removes. ``advect_split_fused`` stays opt-in.
 
     ``prefer_t=False`` skips the t-pass and keeps the lane_lerp path: in
-    steps whose projections/solves run the MASKED z-streaming kernels
-    (obstacle scenes past VMEM residency) the transpose programs cost a
-    roughly CONSTANT ~1.5 ms in the streaming mix, so the t-pass loses
-    where its size-dependent win is smaller than that — 17.0 vs 15.6
-    ms/step at 256x128x128 sphere — and still wins where it is larger
-    (64.9 vs 71.5 at 256^3 sphere; tools/exp_project_masked.py, one
-    variant per process). The caller routes on scene AND size
-    (models/windtunnel.py::_advect_prefer_t)."""
+    steps whose masked solves run the depth-1 lo/mid/hi BlockSpec
+    z-streaming kernels, the transpose programs eat the mix's exposed
+    small-window DMA issue rate (~1.5 ms flat at 256x128x128 sphere:
+    17.0 vs 15.6 ms/step). With the merged-window manual-DMA masked
+    solves (3 issues/grid-step) the penalty is gone and the t-pass wins
+    everywhere measured — 13.22 vs 13.88 at 256x128x128 sphere
+    (tools/exp_advect_mix.py). The caller routes on the solve-kernel
+    MIX, not size (models/windtunnel.py::_advect_prefer_t)."""
     if use_pallas and prefer_t and advect_split_t_supported(prev.shape):
         return advect_split_t(prev, vx, vy, vz, float(dt_))
     if use_pallas and lane_lerp_supported(prev.shape):

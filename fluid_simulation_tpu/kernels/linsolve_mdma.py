@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from fluid_simulation_tpu.kernels.linsolve_pallas import (
     VMEM_BUDGET_BYTES, _itemsize, _tiled_bytes, _roll)
 from fluid_simulation_tpu.kernels.linsolve_stream import (
-    _rebuild_padded, _solve_signs, make_sweep1_packed_call)
+    _rebuild_padded, _solve_signs, make_sweep1_packed_call,
+    temporal_stream_preferred)
 
 
 def _mdma_vmem_bytes(blk: int, nsw: int, shape, dtype, apply_keep: bool)\
@@ -96,20 +97,32 @@ def mdma_preferred(shape, dtype=jnp.float32, apply_keep: bool = True,
     ``pl.ds`` window offsets know nothing about), so batched steps fall
     through to the BlockSpec streaming kernels.
 
-    EMPTY scenes only, by measurement (tools/exp_mdma.py, 256^3, one
-    variant per process): empty 470.0 vs the temporal BlockSpec kernel's
-    486.2 us/sweep (merged windows + lean parity + the copy-elided first
+    EMPTY scenes, by measurement (tools/exp_mdma.py, 256^3, one variant
+    per process): empty 470.0 vs the temporal BlockSpec kernel's 486.2
+    us/sweep (merged windows + lean parity + the copy-elided first
     halfsweep), but masked 519.4 vs 508.1 — with a keep stream the first
     halfsweep cannot skip the window->ext multiply pass and the merged
-    windows buy nothing, so the BlockSpec temporal kernel stays the
-    masked winner."""
-    if batched or apply_keep:
+    windows buy nothing over BlockSpec depth 2, so where the temporal
+    kernel FITS it stays the masked winner.
+
+    KEEP scenes at wide rows, by measurement (tools/exp_mdma_keep.py):
+    the BlockSpec temporal kernel never fits W > 256 rows (E-row scratch
+    + lo/mid/hi window triplication — r3 notes), so the masked
+    alternative there is the DEPTH-1 stream kernel, the matchup the
+    empty 512 won by 18.7%. Masked mdma at 512x256x256 sphere:
+    **121.4 vs 146.6 ms/step (-17.2%), bitwise-identical** (sha
+    64327e17). Gate: masked mdma only when temporal_stream_preferred
+    has no depth-2 offer for the shape."""
+    if batched:
         return None
     if jax.default_backend() not in ("tpu", "axon"):
         return None
     if dtype not in (jnp.float32, jnp.bfloat16):
         return None
     if len(shape) != 3 or min(shape) < 6:
+        return None
+    if apply_keep and temporal_stream_preferred(
+            shape, dtype, apply_keep=True) is not None:
         return None
     return mdma_params(shape, dtype, apply_keep)
 

@@ -52,7 +52,7 @@ from fluid_simulation_tpu.kernels.linsolve_stream import (
     make_packed_sweep_call, make_packed_sweep_call_t,
     pallas_stream_solve_supported, temporal_stream_preferred)
 from fluid_simulation_tpu.kernels.linsolve_mdma import (
-    mdma_params, merged_sweep_chain)
+    mdma_params, mdma_preferred, merged_sweep_chain)
 from fluid_simulation_tpu.ops.project import grid_h
 
 BLK = 16   # preferred z-block of the div/grad kernels

@@ -222,24 +222,38 @@ def _diffuse_vel_dispatch(vx, vy, vz, pvx, pvy, pvz, masks, p: SimParams,
 # t-pass advantage grows with grid size (0.33 ms at 4.2M, 6.4 at 16.8M,
 # 14.4 at 33.5M cells on empty scenes — exp_advect_t), so only the
 # smaller masked-stream grids prefer the lane path.
-_LANE_ADVECT_MAX_CELLS = 8 * 1024 * 1024
-
-
 def _advect_prefer_t(p: SimParams, shape, dtype) -> bool:
-    """Route split advection off the transposing y/z passes when the
-    step's projections take the MASKED z-streaming route (obstacle scene
-    past VMEM residency) AND the grid is below the measured crossover —
-    there the t-pass loses end-to-end (17.0 vs 15.6 ms/step at
-    256x128x128 sphere); it wins at every empty-scene size, on
-    VMEM-resident obstacle scenes, and on masked grids >= 8M cells
-    (64.9 vs 71.5 ms/step at 256^3 sphere). See _LANE_ADVECT_MAX_CELLS."""
+    """Route split advection off the transposing y/z passes ONLY in steps
+    whose masked solves/projections run the depth-1 BlockSpec z-streaming
+    kernels. The r3/r4 "t-pass loses ~1.5 ms flat below 8M cells" was a
+    kernel-MIX interaction, not a size effect: the lo/mid/hi BlockSpec
+    masked-stream kernels issue 7+ small window DMAs per grid step
+    (~2.4 us each exposed — NOTES "DMA-issue model"), and the t-pass
+    transpose programs, being data-movement-dense with little compute to
+    hide under, eat that issue rate where the lane path does not. With
+    the merged-window manual-DMA masked solves (3 issues/step) the
+    penalty is gone and the t-pass wins again: 13.22 vs 13.88 ms/step at
+    256x128x128 sphere (tools/exp_advect_mix.py, sha-identical, one
+    process per variant). The t-pass also wins on every empty scene, on
+    VMEM-resident masked scenes (flagship), and in the temporal-BlockSpec
+    mix at 256^3 sphere (64.9 vs 71.5)."""
     if p.empty_scene or not p.use_pallas or p.solver != "rbgs":
-        return True
-    if p.n_cells >= _LANE_ADVECT_MAX_CELLS:
         return True
     from fluid_simulation_tpu.kernels.project_pallas import (
         pallas_project_masked_supported)
-    return not p.batched and pallas_project_masked_supported(shape, dtype)
+    if not p.batched and pallas_project_masked_supported(shape, dtype):
+        return True  # VMEM-resident masked mix
+    from fluid_simulation_tpu.kernels.linsolve_mdma import mdma_preferred
+    from fluid_simulation_tpu.kernels.linsolve_stream import (
+        temporal_stream_preferred)
+    if mdma_preferred(shape, dtype, apply_keep=True,
+                      batched=p.batched) is not None:
+        return True  # merged-window masked mix
+    if temporal_stream_preferred(shape, dtype, apply_keep=True) is not None:
+        return True  # temporal BlockSpec masked mix (>= 8M cells)
+    # depth-1 BlockSpec masked-stream mix (vmapped sweeps; shapes the
+    # merged kernel cannot tile): the measured losing mix for the t-pass
+    return False
 
 
 def _project_dispatch(vx, vy, vz, masks, p: SimParams):

@@ -266,16 +266,31 @@ def test_split_step_prefers_lane_advect_on_masked_stream_route(monkeypatch):
                         lambda shape, dtype: False)
     assert run(SimParams(**small), sphere) == [False, False]
 
-    # size crossover: on masked-stream grids >= 8M cells the t-pass wins
-    # again (64.9 vs 71.5 ms/step at 256^3 sphere) — unit-check the helper
-    # directly to avoid allocating a 256^3 state on the test mesh
+    # mix crossover (round 5): the t-pass is preferred whenever the masked
+    # solves take a merged-window (mdma) or temporal-BlockSpec route — the
+    # depth-1 BlockSpec stream mix is the only measured loser
+    # (tools/exp_advect_mix.py). Unit-check the helper with the backend
+    # patched to "tpu" so the kernel gates engage, avoiding a 256^3 state
+    # allocation on the test mesh.
+    import jax.numpy as jnp
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     big = SimParams(width=256, height=256, depth=256, mode="split",
                     empty_scene=False)
-    import jax.numpy as jnp
+    # 256^3 masked -> temporal BlockSpec depth-2 mix -> t-pass
     assert wtm._advect_prefer_t(big, (258, 258, 258), jnp.float32) is True
-    small_masked = SimParams(**small).replace(empty_scene=False)
+    wide = SimParams(width=512, height=256, depth=256, mode="split",
+                     empty_scene=False)
+    # wide rows masked -> merged-window mdma mix -> t-pass
+    assert wtm._advect_prefer_t(wide, (258, 258, 514), jnp.float32) is True
+    mid = SimParams(width=128, height=128, depth=256, mode="split",
+                    empty_scene=False)
+    # 256x128x128 masked -> mdma now admitted (< TEMPORAL_MIN_CELLS) ->
+    # t-pass (13.22 vs 13.88 ms/step, exp_advect_mix)
+    assert wtm._advect_prefer_t(mid, (258, 130, 130), jnp.float32) is True
+    # vmapped sweeps fall through to the depth-1 BlockSpec masked-stream
+    # kernels (mdma/temporal both decline batched) -> lane path
     assert wtm._advect_prefer_t(
-        small_masked, (10, 10, 18), jnp.float32) is False
+        mid.replace(batched=True), (258, 130, 130), jnp.float32) is False
 
 
 def test_lane_lerp_stack_matches_per_field():

@@ -728,3 +728,57 @@ def test_pad_bounds_stream_matches_resident(bs, wall_mode, masked, blk):
             np.testing.assert_array_equal(
                 np.asarray(got[i]), np.asarray(want[i]),
                 err_msg=f"b={bs[i]} D={Dt}")
+
+
+def test_production_dispatch_traces_on_tpu_backend(monkeypatch):
+    """Abstractly trace the PRODUCTION (interpret=False, backend='tpu')
+    step at every bench grid class, empty and masked.
+
+    Kernel selection — the mdma/temporal/stream ladders, `_pick_blk` byte
+    models, advect routing — is plain Python that runs at trace time, and
+    every numeric CPU test either passes interpret=True or is routed off
+    the Pallas kernels by the backend gates. A trace-time bug in the
+    production branch (round 5 shipped a missing `mdma_preferred` import
+    in project_stream.py that crashed every big-grid TPU run while the
+    suite stayed green) is only visible when the TPU dispatch itself is
+    traced. `jax.eval_shape` does exactly that for free: abstract eval
+    runs all the dispatch Python and the Pallas index maps without
+    compiling Mosaic or touching memory."""
+    import jax
+    from fluid_simulation_tpu.config import SimParams
+    from fluid_simulation_tpu.models.windtunnel import (
+        FluidState, simulation_step)
+    from fluid_simulation_tpu.scene.masks import SceneMasks
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # Masked merged-window gate (round 5, tools/exp_mdma_keep.py): engages
+    # exactly where the BlockSpec temporal kernel cannot fit (wide rows:
+    # obstacle 512x256x256 146.6 -> 121.4 ms/step, bitwise), never where
+    # the temporal kernel is the measured masked winner (256^3: 519 vs 508
+    # us/sweep).
+    from fluid_simulation_tpu.kernels.linsolve_mdma import mdma_preferred
+    assert mdma_preferred((258, 258, 514), jnp.float32,
+                          apply_keep=True) == (8, 2)
+    assert mdma_preferred((258, 258, 258), jnp.float32,
+                          apply_keep=True) is None
+    assert mdma_preferred((258, 258, 258), jnp.float32,
+                          apply_keep=False) == (16, 2)
+
+    for (W, H, D) in ((128, 64, 64), (128, 128, 256), (256, 256, 256),
+                      (256, 256, 512)):
+        padded = (D + 2, H + 2, W + 2)
+        interior = (D, H, W)
+        p = jax.ShapeDtypeStruct(padded, jnp.float32)
+        i = jax.ShapeDtypeStruct(interior, jnp.float32)
+        state = FluidState(vx=p, vy=p, vz=p, dens=p)
+        masks = SceneMasks(solid=p, keep_scalar=p, keep_vel=p, fluid_i=i,
+                           red_i=i, nb_xp=i, nb_xm=i, nb_yp=i, nb_ym=i,
+                           nb_zp=i, nb_zm=i)
+        for empty in (True, False):
+            params = SimParams(width=W, height=H, depth=D, mode="split",
+                               empty_scene=empty, div_stats=False)
+            out = jax.eval_shape(
+                lambda s, m, prm=params: simulation_step(s, m, prm),
+                state, masks)
+            assert out[0].vx.shape == padded, (W, H, D, empty)
