@@ -358,11 +358,11 @@ def simulation_step(state: FluidState, masks: SceneMasks,
         # lane-gather passes — the fastest TPU path; standard production
         # formulation, not bit-compatible with the trilinear backtrace. The
         # three components ride one stacked pipeline (shared gather indices).
-        # prefer_t routes on the projection path: in steps running the
-        # MASKED z-streaming projection (obstacle scenes past VMEM
-        # residency) the transposing y/z passes LOSE end-to-end (17.0 vs
-        # 15.6 ms/step at 256x128x128 sphere — see advect_split_auto's
-        # docstring); everywhere else they win.
+        # prefer_t routes on the step's solve-kernel MIX: the transposing
+        # y/z passes win everywhere except steps whose masked solves run
+        # the depth-1 BlockSpec z-streaming kernels, where their exposed
+        # small-window DMA issue rate eats the transpose programs (see
+        # _advect_prefer_t and advect_split_auto's docstring).
         from fluid_simulation_tpu.kernels.advect_pallas import advect_split_auto
         prefer_t = _advect_prefer_t(p, vx.shape, vx.dtype)
         stacked = jnp.stack([pvx, pvy, pvz])
